@@ -1,0 +1,303 @@
+"""Core NN layers: NHWC convs on the MXU, explicit-state BatchNorm.
+
+All tensors are NHWC (TPU-native layout). Conv weights are HWIO.
+Semantics (padding arithmetic, BatchNorm statistics, transposed-conv output
+size) match torch's so that reference checkpoints can be imported and
+verified; the implementations are XLA-first (`lax.conv_general_dilated`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from jspsr_tpu.nn import initializers as inits
+from jspsr_tpu.nn.module import Module
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv2d(Module):
+    """2D convolution, NHWC x HWIO -> NHWC.
+
+    torch-compatible integer padding: pad p on both sides of H and W.
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size,
+        stride=1,
+        padding=0,
+        bias: bool = True,
+        groups: int = 1,
+        weight_init=None,
+        dtype=jnp.float32,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.padding = _pair(padding)
+        self.use_bias = bias
+        self.groups = groups
+        self.weight_init = weight_init or inits.trunc_normal_fan_in()
+        self.dtype = dtype
+
+    def init(self, rng):
+        kh, kw = self.kernel_size
+        kw_key, b_key = jax.random.split(rng)
+        w = self.weight_init(
+            kw_key, (kh, kw, self.in_channels // self.groups, self.out_channels),
+            self.dtype,
+        )
+        params = {"w": w}
+        if self.use_bias:
+            params["b"] = jnp.zeros((self.out_channels,), self.dtype)
+        return params, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        ph, pw = self.padding
+        y = lax.conv_general_dilated(
+            x,
+            params["w"].astype(x.dtype),
+            window_strides=self.stride,
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=_DIMS,
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            y = y + params["b"].astype(y.dtype)
+        return y, {}
+
+
+class ConvTranspose2d(Module):
+    """Transposed 2D convolution with torch output-size semantics.
+
+    out = (in - 1)*stride - 2*padding + kernel + output_padding
+
+    Implemented as an input-dilated forward convolution (lhs_dilation), which
+    XLA lowers to an MXU-friendly conv. The stored weight is the HWIO kernel
+    of that equivalent forward conv (the torch importer flips/permutes).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size,
+        stride=2,
+        padding=1,
+        output_padding=1,
+        bias: bool = True,
+        weight_init=None,
+        dtype=jnp.float32,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.padding = _pair(padding)
+        self.output_padding = _pair(output_padding)
+        self.use_bias = bias
+        self.weight_init = weight_init or inits.trunc_normal_fan_in()
+        self.dtype = dtype
+
+    def init(self, rng):
+        kh, kw = self.kernel_size
+        kw_key, _ = jax.random.split(rng)
+        w = self.weight_init(
+            kw_key, (kh, kw, self.in_channels, self.out_channels), self.dtype
+        )
+        params = {"w": w}
+        if self.use_bias:
+            params["b"] = jnp.zeros((self.out_channels,), self.dtype)
+        return params, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        (kh, kw) = self.kernel_size
+        (sh, sw) = self.stride
+        (ph, pw) = self.padding
+        (oph, opw) = self.output_padding
+        y = lax.conv_general_dilated(
+            x,
+            params["w"].astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=_DIMS,
+        )
+        if self.use_bias:
+            y = y + params["b"].astype(y.dtype)
+        return y, {}
+
+
+class BatchNorm2d(Module):
+    """BatchNorm over NHWC with explicit running-stats state.
+
+    torch semantics: training normalizes with biased batch variance and
+    updates running stats as (1-m)*running + m*batch (unbiased variance for
+    the running update); eval normalizes with running stats.
+    """
+
+    def __init__(self, num_features: int, eps: float = 1e-5, momentum: float = 0.1):
+        super().__init__()
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+
+    def init(self, rng):
+        params = {
+            "scale": jnp.ones((self.num_features,), jnp.float32),
+            "bias": jnp.zeros((self.num_features,), jnp.float32),
+        }
+        state = {
+            "mean": jnp.zeros((self.num_features,), jnp.float32),
+            "var": jnp.ones((self.num_features,), jnp.float32),
+        }
+        return params, state
+
+    def __call__(self, params, state, x, train: bool = False):
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            new_state = {
+                "mean": (1 - m) * state["mean"] + m * mean,
+                "var": (1 - m) * state["var"] + m * unbiased,
+            }
+        else:
+            mean, var = state["mean"], state["var"]
+            new_state = {}
+        inv = lax.rsqrt(var + self.eps) * params["scale"]
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + params["bias"].astype(
+            x.dtype
+        )
+        return y, new_state
+
+
+class ReLU(Module):
+    def init(self, rng):
+        return {}, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        return jnp.maximum(x, 0), {}
+
+
+class LeakyReLU(Module):
+    def __init__(self, negative_slope: float = 0.2):
+        super().__init__()
+        self.negative_slope = negative_slope
+
+    def init(self, rng):
+        return {}, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        return jnp.where(x >= 0, x, x * self.negative_slope), {}
+
+
+class Sigmoid(Module):
+    def init(self, rng):
+        return {}, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        return jax.nn.sigmoid(x), {}
+
+
+def global_avg_pool(x):
+    """NHWC -> (N,1,1,C) mean pool (AdaptiveAvgPool2d(1))."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def global_max_pool(x):
+    """NHWC -> (N,1,1,C) max pool (AdaptiveMaxPool2d(1))."""
+    return jnp.max(x, axis=(1, 2), keepdims=True)
+
+
+def pixel_shuffle(x, r: int):
+    """NHWC pixel shuffle with torch channel-order semantics.
+
+    out[b, h*r+i, w*r+j, c] = in[b, h, w, c*r*r + i*r + j]
+    """
+    b, h, w, c = x.shape
+    assert c % (r * r) == 0
+    cout = c // (r * r)
+    x = x.reshape(b, h, w, cout, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, cout)
+
+
+def _cubic_kernel(x, a: float):
+    import numpy as np
+
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1,
+        (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+        np.where(ax < 2, a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a, 0.0),
+    )
+    return w
+
+
+def _resize_matrix(in_size: int, out_size: int, mode: str):
+    """Dense (out, in) interpolation matrix, half-pixel centers, clamped borders.
+
+    Resizing as a matmul maps naturally onto the MXU; the matrix is a
+    trace-time constant (static shapes).
+    """
+    import numpy as np
+
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    if mode == "bicubic":
+        taps, a = 4, -0.75
+        i0 = np.floor(src).astype(np.int64) - 1
+        offs = np.arange(taps)
+        idx = i0[:, None] + offs[None, :]
+        w = _cubic_kernel(src[:, None] - idx, a)
+    elif mode == "bilinear":
+        taps = 2
+        i0 = np.floor(src).astype(np.int64)
+        offs = np.arange(taps)
+        idx = i0[:, None] + offs[None, :]
+        w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - idx))
+    else:
+        raise ValueError(mode)
+    idx = np.clip(idx, 0, in_size - 1)
+    mat = np.zeros((out_size, in_size), np.float32)
+    np.add.at(mat, (np.repeat(np.arange(out_size), taps), idx.ravel()), w.ravel())
+    return jnp.asarray(mat)
+
+
+def _matmul_resize(x, out_h: int, out_w: int, mode: str):
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    ah = _resize_matrix(h, out_h, mode)
+    aw = _resize_matrix(w, out_w, mode)
+    y = jnp.einsum("Oh,bhwc->bOwc", ah, x, precision=lax.Precision.HIGHEST)
+    y = jnp.einsum("Ow,bhwc->bhOc", aw, y, precision=lax.Precision.HIGHEST)
+    return y
+
+
+def bilinear_resize(x, out_h: int, out_w: int):
+    """Bilinear resize NHWC matching torch F.interpolate(mode='bilinear',
+    align_corners=False): half-pixel centers, border-clamped."""
+    return _matmul_resize(x, out_h, out_w, "bilinear")
+
+
+def bicubic_resize(x, out_h: int, out_w: int):
+    """Bicubic resize NHWC matching torch F.interpolate(mode='bicubic',
+    align_corners=False): a=-0.75 Keys kernel, half-pixel centers."""
+    return _matmul_resize(x, out_h, out_w, "bicubic")
