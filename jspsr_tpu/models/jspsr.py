@@ -1,0 +1,229 @@
+"""JSPSR: multi-branch guided DEM super-resolution network with a joint
+spatial-propagation refinement head (reference models/JSPSR.py).
+
+Architecture (cat_only fusion, nf=32, B = number of branches):
+
+- per-branch 5x5 stems (BN only on the image stem) -> nf
+- 4 encoder stages of paired BasicBlocks; after every stage the branches are
+  fused by channel concat (Guide), and the DEM branch's next stage consumes
+  the fused tensor (nf*2^s * B channels), strides 1,2,2,2
+- decoder: 3 x Basic2dTrans (channel-attention conv + transposed conv 2x)
+  with concat skip connections to the fused encoder features, then conv0
+- SPN head: stop_gradient(dem) -> Generator -> (affinity, offsets) ->
+  PostProcessor (one modulated deformable conv over the raw DEM, residual)
+
+Branches: dem (required) + optional image + at most one aux of
+{mask, canopy, coord} (reference JSPSR.py:34-64).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jspsr_tpu import nn
+from jspsr_tpu.nn.module import Module, Sequential
+from jspsr_tpu.models.components import (
+    Basic2d,
+    Basic2dTrans,
+    BasicBlock,
+    Downsample,
+    Guide,
+)
+from jspsr_tpu.models.spn import Generator, PostProcessor
+
+AUX_KEYS = ("mask", "canopy", "coord")
+
+
+def _make_branch_layer(inplanes, planes, blocks, stride, res_scale, fused_in):
+    """One encoder stage for one branch: [block(fused_in -> planes, stride,
+    downsample), block(planes -> planes), ...]."""
+    need_ds = stride != 1 or inplanes != planes
+    ds = Downsample(fused_in, planes, stride) if need_ds else None
+    mods = [BasicBlock(fused_in, planes, stride, ds, act=True, scale=res_scale)]
+    for _ in range(1, blocks):
+        mods.append(BasicBlock(planes, planes, 1, None, act=True, scale=res_scale))
+    return Sequential(*mods)
+
+
+class JSPSR(Module):
+    def __init__(
+        self,
+        in_channels: dict,
+        out_channels: int = 1,
+        num_feature: int = 32,
+        layers: tuple = (2, 2, 2, 2),
+        res_scale: tuple = (1, 1, 1, 1),
+        spn: bool = True,
+        spn_scale: float = 1.0,
+        cat_only: bool = True,
+        generator_leaky: bool = False,
+    ):
+        super().__init__()
+        self.name = "JSPSR"
+        self.in_channels = dict(in_channels)
+        self.spn = spn
+        assert len(in_channels) > 1, "At least 2 input modalities are required"
+        assert "lr_dem" in in_channels
+        self.cat_only = cat_only
+
+        self.has_img = "image" in in_channels
+        aux = [k for k in AUX_KEYS if k in in_channels]
+        assert len(aux) <= 1, f"at most one aux branch, got {aux}"
+        self.aux_key = aux[0] if aux else None
+        assert self.has_img or self.aux_key, "at least one guidance branch"
+        nb = 1 + int(self.has_img) + int(self.aux_key is not None)
+        self.num_branch = nb
+
+        nf = num_feature
+        self.conv_dem = Basic2d(in_channels["lr_dem"], nf, 5, 2, bn=False)
+        self.conv_img = (
+            Basic2d(in_channels["image"], nf, 5, 2, bn=True) if self.has_img else None
+        )
+        self.conv_aux = (
+            Basic2d(in_channels[self.aux_key], nf, 5, 2, bn=False)
+            if self.aux_key
+            else None
+        )
+
+        # Encoder stages. Stage s: branch channels nf*2^s; the DEM branch's
+        # input is the concat-fused tensor (inplanes * nb) for stages 2-4
+        # and inplanes*1 for stage 1 (reference JSPSR.py:90-143).
+        stage_in = [nf, nf * 2, nf * 4, nf * 8]
+        stage_out = [nf * 2, nf * 4, nf * 8, nf * 16]
+        stage_stride = [1, 2, 2, 2]
+        stage_nb = [1, nb, nb, nb]  # fused-width multiplier of the dem input
+        for s in range(4):
+            fused_in = stage_in[s] * (stage_nb[s] if cat_only else 1)
+            dem_l = _make_branch_layer(
+                stage_in[s], stage_out[s], layers[s], stage_stride[s], res_scale[s],
+                fused_in,
+            )
+            setattr(self, f"layer{s + 1}_dem", dem_l)
+            if self.has_img:
+                setattr(
+                    self,
+                    f"layer{s + 1}_img",
+                    _make_branch_layer(
+                        stage_in[s], stage_out[s], layers[s], stage_stride[s],
+                        res_scale[s], stage_in[s],
+                    ),
+                )
+            if self.aux_key:
+                setattr(
+                    self,
+                    f"layer{s + 1}_aux",
+                    _make_branch_layer(
+                        stage_in[s], stage_out[s], layers[s], stage_stride[s],
+                        res_scale[s], stage_in[s],
+                    ),
+                )
+            setattr(
+                self,
+                f"guide{s + 1}",
+                Guide(stage_out[s] * nb, stage_out[s], cat_only=cat_only),
+            )
+
+        c4_ch = nf * 16 * nb if cat_only else nf * 16
+        self.layer3d = Basic2dTrans(c4_ch, nf * 8, camb=cat_only)
+        c3_ch = nf * 8 + nf * 8 * nb if cat_only else nf * 8
+        self.layer2d = Basic2dTrans(c3_ch, nf * 4, camb=cat_only)
+        c2_ch = nf * 4 + nf * 4 * nb if cat_only else nf * 4
+        self.layer1d = Basic2dTrans(c2_ch, nf * 2, camb=cat_only)
+        c1_ch = nf * 2 + nf * 2 * nb if cat_only else nf * 2
+        c0_ch = nf * 2 if cat_only else nf
+        self.conv0 = Basic2d(c1_ch, c0_ch, 3, 1, bn=True, relu=True, camb=cat_only)
+
+        bc = nf if cat_only else nf // 2
+        if spn:
+            self.generator = Generator(c0_ch, 3, bc=bc, leaky=generator_leaky)
+            self.postprocessor = PostProcessor(3, residual=True, scale=spn_scale)
+        else:
+            self.generator = None
+            self.postprocessor = Basic2d(c0_ch, out_channels, 3, 1, bn=False,
+                                         relu=False)
+
+    # ------------------------------------------------------------------
+    def input_keys(self):
+        """Canonical input order: dem, then image, then the aux modality."""
+        keys = ["lr_dem"]
+        if self.has_img:
+            keys.append("image")
+        if self.aux_key:
+            keys.append(self.aux_key)
+        return keys
+
+    def __call__(self, params, state, inputs, train: bool = False):
+        """inputs: list/tuple of NHWC arrays in input_keys() order."""
+        ns = {}
+
+        def run(name, *args):
+            out, s = getattr(self, name)(
+                params.get(name, {}), state.get(name, {}), *args, train=train
+            )
+            if s:
+                ns[name] = s
+            return out
+
+        keys = self.input_keys()
+        assert len(inputs) == len(keys), (len(inputs), keys)
+        dem = inputs[0]
+        img = inputs[1] if self.has_img else None
+        aux = inputs[-1] if self.aux_key else None
+
+        feats = {"dem": run("conv_dem", dem)}
+        if self.has_img:
+            feats["img"] = run("conv_img", img)
+        if self.aux_key:
+            feats["aux"] = run("conv_aux", aux)
+
+        fused = {}
+        dem_in = feats["dem"]
+        for s in range(1, 5):
+            branch_out = {"dem": run(f"layer{s}_dem", dem_in)}
+            if self.has_img:
+                branch_out["img"] = run(f"layer{s}_img", feats["img"])
+            if self.aux_key:
+                branch_out["aux"] = run(f"layer{s}_aux", feats["aux"])
+            ordered = [branch_out["dem"]]
+            if self.has_img:
+                ordered.append(branch_out["img"])
+            if self.aux_key:
+                ordered.append(branch_out["aux"])
+            fused[s] = run(f"guide{s}", ordered)
+            feats = branch_out
+            dem_in = fused[s]
+
+        dc3 = run("layer3d", fused[4])
+        c3 = (
+            jnp.concatenate([dc3, fused[3]], axis=-1) if self.cat_only
+            else dc3 + fused[3]
+        )
+        dc2 = run("layer2d", c3)
+        c2 = (
+            jnp.concatenate([dc2, fused[2]], axis=-1) if self.cat_only
+            else dc2 + fused[2]
+        )
+        dc1 = run("layer1d", c2)
+        c1 = (
+            jnp.concatenate([dc1, fused[1]], axis=-1) if self.cat_only
+            else dc1 + fused[1]
+        )
+        c0 = run("conv0", c1)
+
+        if self.spn:
+            # Gradient stop on the DEM input: the refinement head treats the
+            # raw LR DEM as data, not as a learnable path (ref JSPSR.py:372).
+            dem_sg = jax.lax.stop_gradient(dem)
+            (weight, offset), s = self.generator(
+                params["generator"], state.get("generator", {}), dem_sg, c0,
+                train=train,
+            )
+            if s:
+                ns["generator"] = s
+            output, _ = self.postprocessor(
+                params["postprocessor"], {}, dem_sg, weight, offset, train=train
+            )
+        else:
+            output = run("postprocessor", c0)
+        return output, ns

@@ -1,0 +1,133 @@
+"""PyTorch checkpoint importer.
+
+Maps a reference-style torch ``state_dict`` (numpy arrays or torch tensors)
+onto this framework's (params, state) pytrees, handling:
+
+- name mapping (torch nn.Sequential indices vs our named children),
+- layout transposes: conv OIHW -> HWIO; transposed conv (IOHW + spatial flip)
+  -> equivalent-forward-conv HWIO,
+- BatchNorm running stats -> the ``state`` tree.
+
+Needed for the fp32 forward-parity gate against reference checkpoints
+(reference checkpoint format: utils/utils.py:373-407 'state_dict' entry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from jspsr_tpu import nn
+from jspsr_tpu.models import components as C
+from jspsr_tpu.models import spn as S
+from jspsr_tpu.models import edsr as E
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+class _Collector:
+    def __init__(self, sd):
+        self.sd = {k: _np(v) for k, v in sd.items()}
+        self.params = {}
+        self.state = {}
+        self.used = set()
+
+    def get(self, name):
+        self.used.add(name)
+        return self.sd[name]
+
+    def set_param(self, jpath, value):
+        d = self.params
+        for k in jpath[:-1]:
+            d = d.setdefault(k, {})
+        d[jpath[-1]] = jnp.asarray(value)
+
+    def set_state(self, jpath, value):
+        d = self.state
+        for k in jpath[:-1]:
+            d = d.setdefault(k, {})
+        d[jpath[-1]] = jnp.asarray(value)
+
+
+def _join(t, name):
+    return f"{t}.{name}" if t else name
+
+
+def _map_module(mod, jpath, tname, col: _Collector):
+    """Recursively copy torch tensors for module ``mod`` rooted at torch
+    name ``tname`` into the collector at json path ``jpath``."""
+    if isinstance(mod, nn.Conv2d):
+        w = col.get(tname + ".weight")  # OIHW
+        col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
+        if mod.use_bias:
+            col.set_param(jpath + ("b",), col.get(tname + ".bias"))
+    elif isinstance(mod, nn.ConvTranspose2d):
+        w = col.get(tname + ".weight")  # (cin, cout, kh, kw)
+        w = np.flip(w, axis=(2, 3)).transpose(2, 3, 0, 1).copy()
+        col.set_param(jpath + ("w",), w)
+        if mod.use_bias:
+            col.set_param(jpath + ("b",), col.get(tname + ".bias"))
+    elif isinstance(mod, nn.BatchNorm2d):
+        col.set_param(jpath + ("scale",), col.get(tname + ".weight"))
+        col.set_param(jpath + ("bias",), col.get(tname + ".bias"))
+        col.set_state(jpath + ("mean",), col.get(tname + ".running_mean"))
+        col.set_state(jpath + ("var",), col.get(tname + ".running_var"))
+    elif isinstance(mod, C.ChannelAttention):
+        _map_module(mod.fc1, jpath + ("fc1",), _join(tname, "fc.0"), col)
+        _map_module(mod.fc2, jpath + ("fc2",), _join(tname, "fc.2"), col)
+    elif isinstance(mod, C.Basic2d):
+        if mod.camb is not None:
+            _map_module(mod.camb, jpath + ("camb",), _join(tname, "camb"), col)
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "conv.0"), col)
+        if mod.bn is not None:
+            _map_module(mod.bn, jpath + ("bn",), _join(tname, "conv.bn"), col)
+    elif isinstance(mod, C.Basic2dTrans):
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "dconv.0"), col)
+        _map_module(mod.dconv, jpath + ("dconv",), _join(tname, "dconv.1"), col)
+        if mod.bn is not None:
+            _map_module(mod.bn, jpath + ("bn",), _join(tname, "dconv.bn"), col)
+    elif isinstance(mod, C.Downsample):
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "0"), col)
+        _map_module(mod.bn, jpath + ("bn",), _join(tname, "1"), col)
+    elif isinstance(mod, S.Generator):
+        for name, child in mod.children():
+            if name == "conv_weight":
+                _map_module(child, jpath + (name,), _join(tname, "conv_weight.0"),
+                            col)
+            else:
+                _map_module(child, jpath + (name,), _join(tname, name), col)
+    elif isinstance(mod, S.PostProcessor):
+        w = col.get(tname + ".w")  # (1, 1, kh, kw)
+        col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
+        col.set_param(jpath + ("b",), col.get(tname + ".b"))
+    elif isinstance(mod, E.ResBlock):
+        _map_module(mod.conv1, jpath + ("conv1",), _join(tname, "body.0"), col)
+        _map_module(mod.conv2, jpath + ("conv2",), _join(tname, "body.2"), col)
+    elif isinstance(mod, E.Upscaler):
+        _map_module(mod.conv1, jpath + ("conv1",), _join(tname, "0"), col)
+    elif isinstance(mod, nn.Sequential):
+        for name, child in mod.children():
+            _map_module(child, jpath + (name,), _join(tname, name), col)
+    else:
+        # generic composite: attribute names match torch module names
+        for name, child in mod.children():
+            _map_module(child, jpath + (name,), _join(tname, name), col)
+
+
+def import_torch_state_dict(module, state_dict, strict: bool = True):
+    """Returns (params, state) pytrees for ``module`` from a torch state_dict."""
+    col = _Collector(state_dict)
+    _map_module(module, (), "", col)
+    if strict:
+        unused = {
+            k for k in col.sd if k not in col.used
+            and not k.endswith("num_batches_tracked")
+        }
+        if unused:
+            raise KeyError(f"unused torch keys: {sorted(unused)[:10]} "
+                           f"({len(unused)} total)")
+    return col.params, col.state
