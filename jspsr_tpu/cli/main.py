@@ -1,0 +1,57 @@
+"""CLI entry point (reference main.py:33-44):
+
+  python -m jspsr_tpu.cli.main --config configs/jspsr_r8_img.yml [--val]
+
+--val runs validation-only from model_kwargs.checkpoint (reference
+main.py:148-159).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime
+from pathlib import Path
+
+from jspsr_tpu.config.loader import create_config
+from jspsr_tpu.train.trainer import Trainer
+from jspsr_tpu.utils.logging import Logger
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser("jspsr-tpu")
+    ap.add_argument("--config", required=True, help="experiment yaml")
+    ap.add_argument("--val", action="store_true",
+                    help="validate only (needs model_kwargs.checkpoint)")
+    ap.add_argument("--result-dir", default=None)
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    p = create_config(args.config)
+    stamp = datetime.now().strftime("%m%d_%H%M")
+    result_dir = Path(args.result_dir or
+                      Path(p.get("work_root", ".")) / "results" / f"{stamp}_{p.name}")
+    result_dir.mkdir(parents=True, exist_ok=True)
+    sys.stdout = Logger(result_dir / "train.log")
+
+    trainer = Trainer(p, result_dir=result_dir)
+
+    ckpt = p.model_kwargs.get("checkpoint")
+    if args.val:
+        assert ckpt, "--val requires model_kwargs.checkpoint"
+        trainer.load(ckpt, resume=False)
+        result = trainer.evaluate(
+            compare_input=True, save_dir=result_dir / "predictions"
+        )
+        print(f"Validation: {result}")
+        return result
+
+    if ckpt:
+        trainer.load(ckpt, resume=bool(p.get("resume")))
+    return trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

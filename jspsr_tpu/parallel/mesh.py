@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers (the reference has no distributed layer —
+SURVEY 2.5/5.8; this is the TPU-native scaling design).
+
+Data-parallel training: a 1-D mesh over all chips, batch axis sharded with
+NamedSharding, train state replicated. The jitted train step is unchanged —
+XLA compiles the gradient all-reduce onto ICI. Multi-host input feeding
+builds global arrays from per-process shards over DCN
+(jax.make_array_from_process_local_data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_names=("data",), shape=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    arr = np.array(devices)
+    if shape is not None:
+        arr = arr.reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a host-side batch pytree onto the mesh, batch-sharded.
+
+    Single-process: device_put with a NamedSharding. Multi-process: build
+    global arrays from per-process local shards (feeding over DCN).
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate train state across the mesh."""
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_batch_to(tree, batch: int):
+    """Pad the leading axis up to ``batch`` (repeat-edge) so the global batch
+    divides the mesh; returns (padded_tree, real_count)."""
+    def pad(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        if n == batch:
+            return x
+        reps = np.concatenate([x, np.repeat(x[-1:], batch - n, axis=0)], axis=0)
+        return reps
+
+    first = jax.tree_util.tree_leaves(tree)[0]
+    real = np.asarray(first).shape[0]
+    return jax.tree_util.tree_map(pad, tree), real

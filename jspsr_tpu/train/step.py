@@ -1,0 +1,65 @@
+"""Jitted train/eval steps.
+
+One compiled XLA program per step: forward, loss, backward, optimizer update
+and BatchNorm-state merge all fuse under a single jit (donated buffers — no
+reallocation of params/opt_state per step). Contrast with the reference's
+per-op eager dispatch (train/train_utils.py:205-268).
+
+Under a device mesh, the same step function is used unchanged: inputs are
+sharded batch-wise (NamedSharding), and XLA inserts the gradient all-reduce
+over ICI (see jspsr_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jspsr_tpu.train.state import TrainState, deep_merge
+
+
+def make_train_step(model, criterion, optimizer, donate: bool = True):
+    """Returns train_step(state, inputs, gt) -> (state, loss_dict)."""
+
+    def train_step(state: TrainState, inputs, gt):
+        def loss_fn(params):
+            pred, bn_updates = model(params, state.bn_state, inputs, train=True)
+            losses = criterion(pred, gt)
+            return losses["Total"], (losses, bn_updates)
+
+        (_, (losses, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        bn_state = deep_merge(state.bn_state, bn_updates)
+        new_state = TrainState(params, bn_state, opt_state, state.step + 1)
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, criterion=None):
+    """Returns eval_step(params, bn_state, inputs, gt) -> (pred, loss_dict)."""
+
+    def eval_step(params, bn_state, inputs, gt=None):
+        pred, _ = model(params, bn_state, inputs, train=False)
+        losses = criterion(pred, gt) if (criterion is not None and gt is not None) \
+            else {}
+        return pred, losses
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model):
+    """Plain jitted inference forward: (params, bn_state, inputs) -> pred."""
+
+    @jax.jit
+    def forward(params, bn_state, inputs):
+        pred, _ = model(params, bn_state, inputs, train=False)
+        return pred
+
+    return forward

@@ -1,0 +1,228 @@
+"""End-to-end training orchestration (reference main.py:47-315).
+
+Flow: build everything from config -> optional resume -> initial eval with
+bicubic-input baseline -> epoch loop (jitted train steps, per-epoch LR,
+eval cadence, best-checkpointing, early stop after epoch 200) -> final:
+rename best checkpoint with metrics embedded, reload, final eval.
+
+TPU-first differences from the reference:
+- one jitted train step (forward+loss+backward+update fused by XLA),
+  buffers donated, batches device_put with a mesh sharding (DP over ICI);
+- deterministic seeding (the reference draws a random seed per run,
+  main.py:56-62; here seed comes from config, default 0);
+- LR schedule is a closed-form epoch function (no scheduler object state).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jspsr_tpu.data.dfc30 import DFC30
+from jspsr_tpu.data.loader import DataLoader, build_batch_inputs
+from jspsr_tpu.data.transforms import build_transforms
+from jspsr_tpu.eval.loop import eval_model
+from jspsr_tpu.losses import build_criterion
+from jspsr_tpu.metrics.meters import PerformanceMeter  # noqa: F401 (re-export)
+from jspsr_tpu.models.factory import build_model
+from jspsr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from jspsr_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_params_filtered,
+    save_checkpoint,
+)
+from jspsr_tpu.train.early_stop import AverageMeter, EarlyStopper, do_eval, \
+    validate_results
+from jspsr_tpu.train.optim import build_lr_schedule, build_optimizer, \
+    set_learning_rate
+from jspsr_tpu.train.state import TrainState
+from jspsr_tpu.train.step import make_eval_step, make_train_step
+from jspsr_tpu.utils.logging import MetricLogger, serialize_config
+
+
+class Trainer:
+    def __init__(self, p, result_dir=None, mesh=None, verbose=None):
+        self.p = p
+        self.verbose = p.get("verbose", True) if verbose is None else verbose
+        self.result_dir = Path(
+            result_dir or Path(p.get("work_root", ".")) / "results" / p.name
+        )
+        self.result_dir.mkdir(parents=True, exist_ok=True)
+        if mesh is None:
+            # largest device count that divides the global train batch
+            n = jax.device_count()
+            while p.train_batch_size % n:
+                n -= 1
+            mesh = make_mesh(jax.devices()[:n])
+            if self.verbose and n > 1:
+                print(f"Data-parallel over {n} devices")
+        self.mesh = mesh
+        self.seed = p.get("seed", 0)
+
+        # model + functional state
+        self.model = build_model(p)
+        params, bn_state = self.model.init(jax.random.PRNGKey(self.seed))
+        self.criterion = build_criterion(dict(p.loss))
+        self.optimizer = build_optimizer(p, params)
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params, bn_state, opt_state,
+                                jnp.zeros((), jnp.int32))
+        self.lr_schedule = build_lr_schedule(p)
+
+        self.train_step = make_train_step(self.model, self.criterion,
+                                          self.optimizer)
+        self.eval_step = make_eval_step(self.model, self.criterion)
+
+        # data
+        train_tf, eval_tf = build_transforms(p)
+        data_kwargs = {k: v for k, v in p.items() if k != "seed"}
+        self.train_set = DFC30(split="train", transform=train_tf,
+                               seed=self.seed, **data_kwargs)
+        self.valid_set = DFC30(split="valid", transform=eval_tf,
+                               seed=self.seed, **data_kwargs)
+        self.train_loader = DataLoader(
+            self.train_set, p.train_batch_size, shuffle=True, drop_last=True,
+            num_workers=p.get("workers", 4), seed=self.seed,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+        )
+        self.valid_loader = DataLoader(
+            self.valid_set, p.get("valid_batch_size", 1), shuffle=False,
+            num_workers=1,
+        )
+
+        self.start_epoch = 0
+        self.best_result = None
+        self.metrics = MetricLogger(
+            self.result_dir, p.get("monitor_app") == "tensorboard"
+        )
+        serialize_config(dict(p), self.result_dir / "config.json")
+
+        es = p.get("early_stop") or {}
+        self.early_stopper = EarlyStopper(es.get("patience"),
+                                          es.get("monitor") or "val_loss")
+
+    # ------------------------------------------------------------------
+    def load(self, path, resume: bool = False):
+        """Load checkpoint; resume=True also restores opt state/epoch
+        (reference utils/utils.py:373-407)."""
+        ck = load_checkpoint(path, self.state.opt_state if resume else None)
+        params = load_params_filtered(self.state.params, ck["params"])
+        bn_state = ck["bn_state"] or self.state.bn_state
+        opt_state = ck["opt_state"] if (resume and ck["opt_state"] is not None) \
+            else self.state.opt_state
+        self.state = TrainState(params, bn_state, opt_state, self.state.step)
+        if resume:
+            self.start_epoch = ck["epoch"] + 1
+            self.best_result = ck["best_result"]
+        if self.verbose:
+            print(f"Loaded checkpoint {path} (epoch {ck['epoch']}, "
+                  f"resume={resume})")
+
+    def _ckpt_path(self):
+        return self.result_dir / f"_tmp_{self.p.model_name}.npz"
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, epoch: int):
+        p = self.p
+        lr = self.lr_schedule(epoch)
+        set_learning_rate(self.state.opt_state, lr)
+        self.train_loader.set_epoch(epoch)
+        loss_meter = AverageMeter("Total")
+        n_samples = 0
+        t0 = time.perf_counter()
+        losses = None
+        for batch in self.train_loader:
+            inputs_np, gt_np, _, _ = build_batch_inputs(
+                batch, p.model_name, p.input_data
+            )
+            inputs = shard_batch(self.mesh, [np.asarray(x) for x in inputs_np])
+            gt = shard_batch(self.mesh, np.asarray(gt_np))
+            self.state, losses = self.train_step(self.state, inputs, gt)
+            n_samples += gt_np.shape[0]
+        if losses is not None:
+            loss_meter.update(float(losses["Total"]), 1)
+        dt = time.perf_counter() - t0
+        if self.verbose:
+            print(f"E{epoch:03d} loss {loss_meter.avg:.4e} lr {lr:.2e} "
+                  f"({n_samples / max(dt, 1e-9):.1f} samples/s)")
+        return loss_meter.avg, lr
+
+    def evaluate(self, compare_input: bool = False, save_dir=None):
+        return eval_model(
+            self.p, self.valid_loader, self.eval_step,
+            self.state.params, self.state.bn_state, self.criterion,
+            compare_input=compare_input, save_dir=save_dir,
+            verbose=self.verbose,
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, initial_eval: bool = True):
+        p = self.p
+        if initial_eval:
+            result = self.evaluate(compare_input=True)
+            if self.verbose:
+                print(f"Initial eval: { {k: v for k, v in result.items() if k != 'input'} }")
+
+        warmup = (p.get("scheduler_kwargs") or {}).get("warmup_epoch", 0)
+        for epoch in range(self.start_epoch, p.epochs):
+            train_loss, lr = self.train_one_epoch(epoch)
+            scalars = {"lr": lr, "train_loss": train_loss}
+            if do_eval(epoch, p.epochs, p.get("val_interval", 1),
+                       p.get("val_start_epoch", 1), warmup):
+                result = self.evaluate()
+                scalars.update(
+                    {f"val_{k.lower()}": v for k, v in result.items()
+                     if k != "input"}
+                )
+                cur = {k: v for k, v in result.items() if k not in ("loss", "input")}
+                if validate_results(self.best_result, cur,
+                                    p.get("best_metric", "RMSE")):
+                    self.best_result = cur
+                    save_checkpoint(
+                        self._ckpt_path(), self.state.params,
+                        self.state.bn_state, self.state.opt_state,
+                        epoch=epoch, best_result=self.best_result,
+                    )
+                # early stop gated to late training (reference main.py:256)
+                if epoch > 200:
+                    metric = self.early_stopper.metric_from(
+                        result["loss"], cur, train_loss
+                    )
+                    if self.early_stopper(metric):
+                        print(f"Early stop at epoch {epoch}")
+                        break
+            self.metrics.log(epoch, **scalars)
+
+        return self.finish()
+
+    def finish(self):
+        """Rename best checkpoint with metrics embedded in the filename
+        (reference main.py:275-292), reload it, final eval."""
+        p = self.p
+        tmp = self._ckpt_path()
+        final_path = tmp
+        if tmp.exists() and self.best_result:
+            inputs_s = "_".join(
+                k for k in ("image", "mask", "canopy", "coord")
+                if p.input_data.get(k)
+            ) or "dem"
+            parts = [p.model_name, f"r{p.resolution}", inputs_s]
+            for k in ("RMSE", "PSNR"):
+                if k in self.best_result:
+                    parts.append(f"{k}{self.best_result[k]:.4f}")
+            final_path = self.result_dir / ("_".join(parts) + ".npz")
+            tmp.replace(final_path)
+            self.load(final_path, resume=False)
+        result = self.evaluate(
+            compare_input=True,
+            save_dir=(self.result_dir / "predictions"
+                      if p.get("val_save_visual") else None),
+        )
+        if self.verbose:
+            print(f"Final eval: { {k: v for k, v in result.items() if k != 'input'} }")
+        return {"checkpoint": str(final_path), "result": result,
+                "best_result": self.best_result}

@@ -16,6 +16,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The env var alone is not enough under the axon TPU plugin; force via config.
+jax.config.update("jax_platforms", "cpu")
 # fp32-parity tests: force full-precision convolutions/matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -1,0 +1,232 @@
+"""Training subsystem tests: schedules/optimizers vs torch, end-to-end mini
+training on the synthetic fixture, checkpointing, and DP-mesh consistency."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.train.optim import build_lr_schedule, build_optimizer, \
+    set_learning_rate
+from jspsr_tpu.train.early_stop import EarlyStopper, do_eval, validate_results
+from jspsr_tpu.train.checkpoint import (
+    load_checkpoint, save_checkpoint, load_params_filtered,
+)
+from jspsr_tpu.train.state import TrainState, deep_merge
+from jspsr_tpu.train.step import make_eval_step, make_train_step
+
+
+def _p(**kw):
+    base = dict(
+        optimizer="AdamW",
+        optimizer_kwargs={"lr": 1e-3, "weight_decay": 1e-6, "momentum": 0.9},
+        scheduler="WarmupStepLR",
+        scheduler_kwargs={"max_lr": 1e-3, "step_size": 100, "gamma": 0.5,
+                          "warmup_epoch": 3},
+        epochs=300,
+    )
+    base.update(kw)
+    return AttrDict(base)
+
+
+def test_warmup_step_lr_matches_torch():
+    p = _p()
+    sched = build_lr_schedule(p)
+    # torch oracle: SequentialLR(LambdaLR warmup, StepLR) stepped per epoch
+    tp = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([tp], lr=1e-3)
+    warm = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda e: 1 / (10 ** float(3 - e)))
+    step = torch.optim.lr_scheduler.StepLR(opt, step_size=100, gamma=0.5)
+    ts = torch.optim.lr_scheduler.SequentialLR(opt, [warm, step], [3])
+    for epoch in range(300):
+        ref = opt.param_groups[0]["lr"]
+        got = sched(epoch)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, err_msg=f"epoch {epoch}")
+        opt.step()
+        ts.step()
+
+
+@pytest.mark.parametrize("name", ["steplr", "cosineannealinglr", "constantlr"])
+def test_other_schedules_match_torch(name):
+    p = _p(scheduler=name, epochs=50,
+           scheduler_kwargs={"step_size": 10, "gamma": 0.5})
+    sched = build_lr_schedule(p)
+    tp = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([tp], lr=1e-3)
+    if name == "steplr":
+        ts = torch.optim.lr_scheduler.StepLR(opt, step_size=10, gamma=0.5)
+    elif name == "cosineannealinglr":
+        ts = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=50,
+                                                        eta_min=1e-6)
+    else:
+        ts = torch.optim.lr_scheduler.LambdaLR(opt, lambda e: 1)
+    for epoch in range(50):
+        np.testing.assert_allclose(sched(epoch), opt.param_groups[0]["lr"],
+                                   rtol=1e-5, err_msg=f"{name} epoch {epoch}")
+        opt.step()
+        ts.step()
+
+
+def test_adamw_step_matches_torch():
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(4, 3)).astype(np.float32)
+    g = rng.normal(size=(4, 3)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=1e-2)
+    tw.grad = torch.from_numpy(g.copy())
+    for _ in range(3):
+        topt.step()
+
+    p = _p(optimizer_kwargs={"lr": 1e-3, "weight_decay": 1e-2, "momentum": 0.9})
+    params = {"w": jnp.asarray(w0)}
+    opt = build_optimizer(p, params)
+    state = opt.init(params)
+    import optax
+    for _ in range(3):
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_set_learning_rate():
+    p = _p()
+    params = {"w": jnp.zeros((2, 2))}
+    opt = build_optimizer(p, params)
+    state = opt.init(params)
+    set_learning_rate(state, 0.5)
+    assert float(state.hyperparams["learning_rate"]) == 0.5
+
+
+def test_deep_merge():
+    old = {"a": {"x": 1, "y": 2}, "b": {"z": 3}}
+    new = {"a": {"y": 20}}
+    merged = deep_merge(old, new)
+    assert merged == {"a": {"x": 1, "y": 20}, "b": {"z": 3}}
+
+
+def test_early_stopper_and_cadence():
+    es = EarlyStopper(patience=2, monitor="val_rmse")
+    assert not es(1.0) and not es(0.9)
+    assert not es(0.95)          # worse x1
+    assert es(0.96)              # worse x2 -> stop
+    es2 = EarlyStopper(patience=2, monitor="val_psnr")
+    assert not es2(30.0) and not es2(31.0)
+    assert not es2(30.5) and es2(30.4)  # higher-better semantics
+
+    assert do_eval(0, 300, val_interval=5, val_start_epoch=1, warmup_epoch=3)is False
+    assert do_eval(3, 300, val_interval=5, warmup_epoch=3)  # first post-warmup
+    assert do_eval(4, 300, val_interval=5)  # (4+1) % 5 == 0
+    assert do_eval(297, 300, val_interval=50)  # last 3 epochs always
+    assert validate_results(None, {"RMSE": 1.0})
+    assert validate_results({"RMSE": 1.0}, {"RMSE": 0.9})
+    assert not validate_results({"RMSE": 1.0}, {"RMSE": 1.1})
+    assert validate_results({"PSNR": 30.0}, {"PSNR": 31.0}, "PSNR")
+
+
+def _tiny_model_and_data(seed=0):
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8, layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    dem = rng.uniform(0.3, 0.6, (4, 32, 32, 1)).astype(np.float32)
+    img = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    gt = np.clip(dem + 0.05 * rng.normal(size=dem.shape).astype(np.float32),
+                 0, 1)
+    return model, params, bn, [jnp.asarray(dem), jnp.asarray(img)], jnp.asarray(gt)
+
+
+def test_train_step_reduces_loss():
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data()
+    p = _p()
+    criterion = build_criterion({"L1": 1, "L2": 1, "Grad": 0.1})
+    opt = build_optimizer(p, params)
+    state = TrainState(params, bn, opt.init(params), jnp.zeros((), jnp.int32))
+    train_step = make_train_step(model, criterion, opt, donate=False)
+    set_learning_rate(state.opt_state, 1e-3)
+    losses0 = None
+    for i in range(8):
+        state, losses = train_step(state, inputs, gt)
+        if losses0 is None:
+            losses0 = float(losses["Total"])
+    assert float(losses["Total"]) < losses0
+    assert int(state.step) == 8
+    # BN running stats actually moved
+    assert not np.allclose(
+        np.asarray(state.bn_state["conv_img"]["bn"]["mean"]), 0.0
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data()
+    p = _p()
+    opt = build_optimizer(p, params)
+    opt_state = opt.init(params)
+    path = tmp_path / "ck.npz"
+    save_checkpoint(path, params, bn, opt_state, epoch=7,
+                    best_result={"RMSE": 1.23})
+    ck = load_checkpoint(path, opt_state)
+    assert ck["epoch"] == 7
+    assert ck["best_result"]["RMSE"] == 1.23
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ck["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(ck["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shape-filtered partial load
+    bigger = {"w": jnp.zeros((3, 3))}
+    merged = load_params_filtered(bigger, {"w": jnp.ones((2, 2))})
+    assert merged["w"].shape == (3, 3)
+
+
+def test_data_parallel_matches_single_device():
+    """Same step on a 1-device vs 8-device DP mesh -> identical params."""
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    model, params, bn, inputs, gt = _tiny_model_and_data(3)
+    p = _p()
+    criterion = build_criterion({"L1": 1, "L2": 1})
+    opt = build_optimizer(p, params)
+
+    @jax.jit
+    def loss_and_grad(prm, binputs, bgt):
+        def loss_fn(q):
+            pred, _ = model(q, bn, binputs, train=True)
+            return criterion(pred, bgt)["Total"]
+
+        return jax.value_and_grad(loss_fn)(prm)
+
+    def run(mesh):
+        binputs = shard_batch(mesh, [np.asarray(x) for x in inputs])
+        bgt = shard_batch(mesh, np.asarray(gt))
+        return loss_and_grad(params, binputs, bgt)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh4 = make_mesh(jax.devices()[:4])  # batch 4 -> 4-way DP
+    l1, g1 = run(mesh1)
+    l4, g4 = run(mesh4)
+    # The all-reduce reorders float sums, and deformable-sampling gradients
+    # are discontinuous at integer lattice positions (a 1e-7 difference can
+    # flip floor() and change a few offset-grad elements) — tolerances cover
+    # those two effects, not systematic error.
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-4)
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g1)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g4)])
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
+    assert close.mean() > 0.99, f"only {close.mean():.2%} of grads close"
+    assert np.abs(a - b).max() < 1e-3

@@ -1,0 +1,69 @@
+"""End-to-end slice: synthetic mini-DFC30 -> Trainer.fit -> checkpoint ->
+validation-only reload. Exercises every layer once (SURVEY 7.3)."""
+
+import numpy as np
+import pytest
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.train.trainer import Trainer
+from jspsr_tpu.data.synthetic import generate_mini_dfc30
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("DFC30_8m")
+    root, train, valid = generate_mini_dfc30(root, train_cities=("Brest",),
+                                             valid_cities=("Vannes",),
+                                             n_per_city=4, size=64)
+    p = AttrDict({
+        "name": "e2e_test",
+        "dataset": "DFC30", "dataset_path": str(root), "resolution": 8,
+        "train_set": train, "valid_set": valid,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": True, "patch_size": 32,
+        "crop_mode": "random", "patches_per_image": 1, "workers": 2,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8, "spn": True,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "WarmupStepLR",
+        "scheduler_kwargs": {"max_lr": 1e-3, "step_size": 100, "gamma": 0.5,
+                             "warmup_epoch": 1},
+        "train_batch_size": 2, "epochs": 2, "resume": False,
+        "valid_batch_size": 1, "val_interval": 1, "val_start_epoch": 1,
+        "metric": {
+            "PSNR": {"package": "piq", "border": 0.05, "min": -80, "max": 929},
+            "RMSE": {"package": "local", "border": 0.05, "min": -80, "max": 929},
+        },
+        "best_metric": "RMSE", "val_border": 0.05,
+        "early_stop": {"patience": None, "monitor": "val_rmse"},
+        "verbose": False, "seed": 0,
+    })
+    return p
+
+
+def test_fit_end_to_end(env, tmp_path):
+    trainer = Trainer(env, result_dir=tmp_path / "run")
+    out = trainer.fit(initial_eval=True)
+    assert out["best_result"] is not None
+    assert "RMSE" in out["best_result"]
+    assert np.isfinite(out["result"]["RMSE"])
+    # bicubic-input baseline was computed
+    assert "input" in out["result"] and "RMSE" in out["result"]["input"]
+    # metrics-bearing checkpoint name (reference main.py:275-292)
+    assert "RMSE" in out["checkpoint"] and out["checkpoint"].endswith(".npz")
+
+    # validate-only reload path
+    t2 = Trainer(env, result_dir=tmp_path / "run2")
+    t2.load(out["checkpoint"], resume=False)
+    r2 = t2.evaluate()
+    np.testing.assert_allclose(r2["RMSE"], out["result"]["RMSE"], rtol=1e-4)
+
+    # metrics jsonl written
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "config.json").exists()
