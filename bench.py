@@ -1,0 +1,84 @@
+"""Throughput benchmark: DEM tiles/sec/chip on the flagship JSPSR forward.
+
+Protocol (BASELINE.json): 128x128 DEM tiles at x8 SR with image+mask
+guidance, eval-mode forward, single chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": R}
+where vs_baseline = value / (10 * CPU-reference tiles/sec) — >= 1.0 means
+the >=10x-CPU north star is met. The CPU reference (same network, host CPU)
+is cached in BASELINE_CPU.json (scripts/measure_cpu_baseline.py).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+# compiles through the TPU tunnel are slow (minutes); cache them persistently
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+
+def _cpu_baseline():
+    path = ROOT / "BASELINE_CPU.json"
+    if not path.exists():
+        subprocess.run(
+            [sys.executable, str(ROOT / "scripts" / "measure_cpu_baseline.py")],
+            check=True,
+            timeout=1200,
+        )
+    return json.loads(path.read_text())["cpu_tiles_per_sec"]
+
+
+def measure(batch, iters=20, warmup=3):
+    import jax
+    import __graft_entry__ as g
+
+    model, params, bn_state = g._flagship()
+    args = g._example_inputs(batch, 128, 128)
+
+    def fn(dem, img, msk):
+        pred, _ = model(params, bn_state, [dem, img, msk], train=False)
+        return pred
+
+    jfn = jax.jit(fn)
+    for _ in range(warmup):
+        jfn(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    best_tps, best_batch = 0.0, 0
+    for batch in (16, 32, 64):
+        try:
+            tps = measure(batch)
+        except Exception as e:  # OOM guard at large batch
+            print(f"# batch {batch} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# batch {batch}: {tps:.1f} tiles/s", file=sys.stderr)
+        if tps > best_tps:
+            best_tps, best_batch = tps, batch
+    try:
+        cpu_tps = _cpu_baseline()
+        vs = best_tps / (10.0 * cpu_tps)
+    except Exception as e:
+        print(f"# cpu baseline unavailable: {e}", file=sys.stderr)
+        vs = None
+    print(json.dumps({
+        "metric": "jspsr_x8_forward_throughput",
+        "value": round(best_tps, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "batch": best_batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

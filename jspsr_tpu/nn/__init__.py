@@ -3,6 +3,8 @@ from jspsr_tpu.nn.layers import (
     BatchNorm2d,
     Conv2d,
     ConvTranspose2d,
+    Dense,
+    LayerNorm,
     LeakyReLU,
     ReLU,
     Sigmoid,
@@ -23,6 +25,8 @@ __all__ = [
     "ConvTranspose2d",
     "BatchNorm2d",
     "ReLU",
+    "Dense",
+    "LayerNorm",
     "LeakyReLU",
     "Sigmoid",
     "global_avg_pool",

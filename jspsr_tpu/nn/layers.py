@@ -187,6 +187,60 @@ class BatchNorm2d(Module):
         return y, new_state
 
 
+class Dense(Module):
+    """Linear layer on the last axis (torch nn.Linear semantics).
+
+    Stored weight is (in, out); torch stores (out, in) — importer transposes.
+    """
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 weight_init=None):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+        self.weight_init = weight_init
+
+    def init(self, rng):
+        k1, _ = jax.random.split(rng)
+        if self.weight_init is not None:
+            w = self.weight_init(k1, (self.in_features, self.out_features))
+        else:
+            # timm trunc_normal_(std=0.02) is effectively normal at that std
+            w = jax.random.normal(
+                k1, (self.in_features, self.out_features), jnp.float32
+            ) * 0.02
+        params = {"w": w}
+        if self.use_bias:
+            params["b"] = jnp.zeros((self.out_features,), jnp.float32)
+        return params, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        y = x @ params["w"].astype(x.dtype)
+        if self.use_bias:
+            y = y + params["b"].astype(y.dtype)
+        return y, {}
+
+
+class LayerNorm(Module):
+    """LayerNorm over the last axis (torch semantics, biased variance)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5):
+        super().__init__()
+        self.num_features = num_features
+        self.eps = eps
+
+    def init(self, rng):
+        return {"scale": jnp.ones((self.num_features,), jnp.float32),
+                "bias": jnp.zeros((self.num_features,), jnp.float32)}, {}
+
+    def __call__(self, params, state, x, train: bool = False):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * lax.rsqrt(var + self.eps)
+        return y * params["scale"] + params["bias"], {}
+
+
 class ReLU(Module):
     def init(self, rng):
         return {}, {}
@@ -280,21 +334,41 @@ def _resize_matrix(in_size: int, out_size: int, mode: str):
     return jnp.asarray(mat)
 
 
+def _resize_matrix_ac(in_size: int, out_size: int):
+    """align_corners=True bilinear interpolation matrix."""
+    import numpy as np
+
+    if out_size == 1:
+        src = np.zeros((1,))
+    else:
+        src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, max(in_size - 2, 0))
+    t = src - i0
+    mat = np.zeros((out_size, in_size), np.float32)
+    mat[np.arange(out_size), i0] += 1 - t
+    mat[np.arange(out_size), np.minimum(i0 + 1, in_size - 1)] += t
+    return jnp.asarray(mat)
+
+
 def _matmul_resize(x, out_h: int, out_w: int, mode: str):
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
-    ah = _resize_matrix(h, out_h, mode)
-    aw = _resize_matrix(w, out_w, mode)
+    if mode == "bilinear_ac":
+        ah = _resize_matrix_ac(h, out_h)
+        aw = _resize_matrix_ac(w, out_w)
+    else:
+        ah = _resize_matrix(h, out_h, mode)
+        aw = _resize_matrix(w, out_w, mode)
     y = jnp.einsum("Oh,bhwc->bOwc", ah, x, precision=lax.Precision.HIGHEST)
     y = jnp.einsum("Ow,bhwc->bhOc", aw, y, precision=lax.Precision.HIGHEST)
     return y
 
 
-def bilinear_resize(x, out_h: int, out_w: int):
-    """Bilinear resize NHWC matching torch F.interpolate(mode='bilinear',
-    align_corners=False): half-pixel centers, border-clamped."""
-    return _matmul_resize(x, out_h, out_w, "bilinear")
+def bilinear_resize(x, out_h: int, out_w: int, align_corners: bool = False):
+    """Bilinear resize NHWC matching torch F.interpolate(mode='bilinear')."""
+    return _matmul_resize(x, out_h, out_w,
+                          "bilinear_ac" if align_corners else "bilinear")
 
 
 def bicubic_resize(x, out_h: int, out_w: int):

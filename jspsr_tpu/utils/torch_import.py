@@ -21,6 +21,7 @@ from jspsr_tpu import nn
 from jspsr_tpu.models import components as C
 from jspsr_tpu.models import spn as S
 from jspsr_tpu.models import edsr as E
+from jspsr_tpu.models import lrru as L
 
 
 def _np(x):
@@ -102,6 +103,20 @@ def _map_module(mod, jpath, tname, col: _Collector):
                 _map_module(child, jpath + (name,), _join(tname, name), col)
     elif isinstance(mod, S.PostProcessor):
         w = col.get(tname + ".w")  # (1, 1, kh, kw)
+        col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
+        col.set_param(jpath + ("b",), col.get(tname + ".b"))
+    elif isinstance(mod, L.LBasic2d):
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "conv.0"), col)
+        if mod.bn is not None:
+            _map_module(mod.bn, jpath + ("bn",), _join(tname, "conv.bn"), col)
+    elif isinstance(mod, L.LBasic2dTrans):
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "conv"), col)
+        _map_module(mod.bn, jpath + ("bn",), _join(tname, "bn"), col)
+    elif isinstance(mod, L.LDownsample):
+        _map_module(mod.conv, jpath + ("conv",), _join(tname, "0"), col)
+        _map_module(mod.bn, jpath + ("bn",), _join(tname, "1"), col)
+    elif isinstance(mod, L.PostProcess):
+        w = col.get(tname + ".w")
         col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
         col.set_param(jpath + ("b",), col.get(tname + ".b"))
     elif isinstance(mod, E.ResBlock):

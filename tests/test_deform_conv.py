@@ -118,3 +118,58 @@ def test_gradients_flow_everywhere():
     off_m = offset.at[idx].add(-eps)
     fd = (loss(x, off_p, mask, w, b) - loss(x, off_m, mask, w, b)) / (2 * eps)
     np.testing.assert_allclose(g_off[idx], float(fd), rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(b=2, cin=1, cout=1, h=12, w=12, k=3, stride=1, pad=1, dil=1,
+             with_mask=True, off_scale=2.0, seed=20),
+        dict(b=1, cin=3, cout=4, h=16, w=12, k=3, stride=1, pad=1, dil=1,
+             with_mask=True, off_scale=1.5, seed=21),
+        dict(b=1, cin=1, cout=2, h=14, w=14, k=5, stride=2, pad=2, dil=1,
+             with_mask=True, off_scale=1.0, seed=22),
+        dict(b=1, cin=1, cout=1, h=8, w=8, k=3, stride=1, pad=1, dil=1,
+             with_mask=True, off_scale=20.0, seed=23),
+    ],
+)
+def test_mxu_impl_matches_gather_impl(case):
+    """The one-hot-matmul (TPU fast path) im2col vs the gather reference."""
+    rng = np.random.default_rng(case["seed"])
+    b, cin, cout = case["b"], case["cin"], case["cout"]
+    h, w, k = case["h"], case["w"], case["k"]
+    stride, pad, dil = case["stride"], case["pad"], case["dil"]
+    ho = (h + 2 * pad - dil * (k - 1) - 1) // stride + 1
+    wo = (w + 2 * pad - dil * (k - 1) - 1) // stride + 1
+    kk = k * k
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    offset = jnp.asarray(
+        (rng.normal(size=(b, ho, wo, 2 * kk)) * case["off_scale"]).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, size=(b, ho, wo, kk)).astype(np.float32))
+    weight = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    kw = dict(stride=stride, padding=pad, dilation=dil)
+    y_g = deform_conv2d(x, offset, weight, bias, mask, impl="gather", **kw)
+    y_m = deform_conv2d(x, offset, weight, bias, mask, impl="mxu", **kw)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_g),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_impl_gradients_match_gather():
+    rng = np.random.default_rng(30)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+    offset = jnp.asarray((rng.normal(size=(1, 8, 8, 18)) * 0.7).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0.2, 1, size=(1, 8, 8, 9)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 1, 1)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1,)).astype(np.float32))
+
+    def loss(impl):
+        def f(x, offset, mask, w, b):
+            return jnp.sum(deform_conv2d(x, offset, w, b, mask, impl=impl) ** 2)
+        return f
+
+    g_g = jax.grad(loss("gather"), argnums=(0, 1, 2, 3, 4))(x, offset, mask, w, b)
+    g_m = jax.grad(loss("mxu"), argnums=(0, 1, 2, 3, 4))(x, offset, mask, w, b)
+    for a, c in zip(g_g, g_m):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
