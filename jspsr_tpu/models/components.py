@@ -184,6 +184,46 @@ class Downsample(Module):
         return x, ({"bn": s} if s else {})
 
 
+class CBAMBasicBlock(Module):
+    """ResNet BasicBlock with CBAM channel+spatial attention
+    (reference resnet_cbam.py:73-109)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, ratio=16):
+        super().__init__()
+        self.conv1 = conv3x3(inplanes, planes, stride)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = conv3x3(planes, planes)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.ca = ChannelAttention(planes, ratio=ratio)
+        self.sa = SpatialAttention()
+        self.downsample = downsample
+
+    def __call__(self, params, state, x, train: bool = False):
+        ns = {}
+        residual = x
+        out, _ = self.conv1(params["conv1"], {}, x)
+        out, s = self.bn1(params["bn1"], state["bn1"], out, train=train)
+        if s:
+            ns["bn1"] = s
+        out = jnp.maximum(out, 0)
+        out, _ = self.conv2(params["conv2"], {}, out)
+        out, s = self.bn2(params["bn2"], state["bn2"], out, train=train)
+        if s:
+            ns["bn2"] = s
+        att, _ = self.ca(params["ca"], {}, out, train=train)
+        out = att * out
+        att, _ = self.sa(params["sa"], {}, out, train=train)
+        out = att * out
+        if self.downsample is not None:
+            residual, s = self.downsample(
+                params["downsample"], state.get("downsample", {}), x, train=train
+            )
+            if s:
+                ns["downsample"] = s
+        out = jnp.maximum(out + residual, 0)
+        return out, ns
+
+
 class Guide(Module):
     """Branch fusion: channel concat, optionally followed by a 3x3 conv when
     cat_only=False (reference basics.py:126-138)."""

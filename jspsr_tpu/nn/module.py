@@ -66,6 +66,27 @@ class Module:
             yield from child.named_leaves(prefix + (name,))
 
 
+class ParamLeaf(Module):
+    """A bare trainable tensor (torch nn.Parameter equivalent)."""
+
+    def __init__(self, shape, init_fn=None):
+        super().__init__()
+        self.shape = tuple(shape)
+        self.init_fn = init_fn
+
+    def init(self, rng):
+        import jax.numpy as jnp
+
+        if self.init_fn is not None:
+            value = self.init_fn(rng, self.shape)
+        else:
+            value = jnp.zeros(self.shape, jnp.float32)
+        return {"value": value}, {}
+
+    def __call__(self, params, state, train: bool = False):
+        return params["value"], {}
+
+
 class Sequential(Module):
     """Applies child modules in order. Children are named '0', '1', ..."""
 

@@ -18,10 +18,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from jspsr_tpu import nn
+from jspsr_tpu.nn.module import ParamLeaf
 from jspsr_tpu.models import components as C
 from jspsr_tpu.models import spn as S
 from jspsr_tpu.models import edsr as E
 from jspsr_tpu.models import lrru as L
+from jspsr_tpu.models import nlspn as N
+from jspsr_tpu.models import pvt as P
 
 
 def _np(x):
@@ -105,6 +108,26 @@ def _map_module(mod, jpath, tname, col: _Collector):
         w = col.get(tname + ".w")  # (1, 1, kh, kw)
         col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
         col.set_param(jpath + ("b",), col.get(tname + ".b"))
+    elif isinstance(mod, nn.Dense):
+        w = col.get(tname + ".weight")  # (out, in)
+        col.set_param(jpath + ("w",), w.T)
+        if mod.use_bias:
+            col.set_param(jpath + ("b",), col.get(tname + ".bias"))
+    elif isinstance(mod, nn.LayerNorm):
+        col.set_param(jpath + ("scale",), col.get(tname + ".weight"))
+        col.set_param(jpath + ("bias",), col.get(tname + ".bias"))
+    elif isinstance(mod, ParamLeaf):
+        col.set_param(jpath + ("value",), col.get(tname))
+    elif isinstance(mod, N.NLSPN):
+        _map_module(mod.conv_offset_aff, jpath + ("conv_offset_aff",),
+                    _join(tname, "conv_offset_aff"), col)
+        col.set_param(jpath + ("aff_scale_const", "value"),
+                      col.get(_join(tname, "aff_scale_const")))
+        col.set_param(jpath + ("w", "value"),
+                      col.get(_join(tname, "w")).transpose(2, 3, 1, 0))
+        col.set_param(jpath + ("b", "value"), col.get(_join(tname, "b")))
+        col.set_param(jpath + ("w_conf", "value"),
+                      col.get(_join(tname, "w_conf")).transpose(2, 3, 1, 0))
     elif isinstance(mod, L.LBasic2d):
         _map_module(mod.conv, jpath + ("conv",), _join(tname, "conv.0"), col)
         if mod.bn is not None:
