@@ -1,0 +1,146 @@
+"""Mosaic, scene-inference, summarise and visualization tests."""
+
+import numpy as np
+import pytest
+import jax
+
+from jspsr_tpu.config.loader import AttrDict, get_tile
+from jspsr_tpu.eval.mosaic import edge_ramp, merge_tiles, tile_weight
+from jspsr_tpu.eval.inference import (
+    add_padding, cal_pad, remove_padding, tile_inference, upscale_dem,
+)
+from jspsr_tpu.eval.summarise import summarise_evaluation
+from jspsr_tpu.data.raster_io import write_raster
+
+
+def test_edge_ramps_sum_to_one():
+    k, p = 116, 13
+    a = edge_ramp(k, p, False, True)
+    b = edge_ramp(k, p, True, False)
+    # overlap of right-fading and left-fading ramps covers to exactly 1
+    np.testing.assert_allclose(a[-p:] + b[:p], 1.0, rtol=1e-12)
+
+
+def test_merge_tiles_reconstructs_smooth_field():
+    """Feathered merge of overlapping tiles of a smooth field reproduces it."""
+    full, k = 334, 128
+    stride, n = get_tile(full, k)
+    yy, xx = np.mgrid[0:full, 0:full].astype(np.float64)
+    field = np.sin(yy / 40) + np.cos(xx / 27)
+    tiles = []
+    for t in range(n):
+        r, c = t // 3, t % 3
+        tiles.append(field[stride * r:stride * r + k,
+                           stride * c:stride * c + k])
+    merged = merge_tiles(tiles, full_size=full)
+    np.testing.assert_allclose(merged, field, rtol=1e-5, atol=1e-5)
+
+
+def test_merge_tiles_weights_partition_of_unity():
+    full, k = 322, 116  # border-cropped r3 protocol (SURVEY: 334->322, 128->116)
+    stride, n = get_tile(full, k)
+    ones = [np.ones((k, k)) for _ in range(n)]
+    merged = merge_tiles(ones, full_size=full)
+    np.testing.assert_allclose(merged, 1.0, rtol=1e-6)
+
+
+def test_padding_roundtrip_and_cal_pad():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(100, 100, 2)).astype(np.float32)
+    p = cal_pad(img)
+    assert (100 + 2 * p) == 128
+    padded = add_padding(img, p)
+    assert padded.shape == (128, 128, 2)
+    np.testing.assert_array_equal(remove_padding(padded, p), img)
+    # mirror: first padded row equals row p (reflection without edge repeat)
+    np.testing.assert_array_equal(padded[p - 1], padded[p + 1])
+    assert cal_pad(np.zeros((128, 128, 1))) == 0
+
+
+def _tiny_jspsr(seed=0):
+    from jspsr_tpu.models.jspsr import JSPSR
+    import jax.numpy as jnp
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8, layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(seed))
+
+    @jax.jit
+    def forward(inputs):
+        return model(params, bn, inputs, train=False)[0]
+
+    return forward
+
+
+def _p():
+    return AttrDict({
+        "model_name": "JSPSR", "relative": True, "normalize": False,
+        "mask_channel": None,
+        "input_data": {"lr_dem": 1, "image": 3},
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+    })
+
+
+def test_upscale_dem_full_scene():
+    rng = np.random.default_rng(1)
+    sample = {
+        "lr_dem": rng.uniform(10, 200, (100, 100, 1)).astype(np.float32),
+        "image": rng.integers(0, 255, (100, 100, 3)).astype(np.uint8),
+    }
+    fwd = _tiny_jspsr()
+    y, t_ms, mem = upscale_dem(fwd, sample, _p())
+    assert y.shape == (100, 100, 1)
+    assert t_ms > 0
+    assert np.isfinite(y).all()
+
+
+def test_tile_inference_shapes_and_blend():
+    rng = np.random.default_rng(2)
+    size = 160  # 160 -> get_tile(160, 64): stride 48, 9 tiles
+    sample = {
+        "lr_dem": rng.uniform(10, 200, (size, size, 1)).astype(np.float32),
+        "image": rng.integers(0, 255, (size, size, 3)).astype(np.uint8),
+    }
+    fwd = _tiny_jspsr()
+    out = tile_inference(fwd, sample, _p(), tile=64)
+    assert out.shape == (size, size, 1)
+    assert np.isfinite(out).all()
+
+
+def test_summarise_evaluation(tmp_path):
+    rng = np.random.default_rng(3)
+    pred_files, gt_files, cop_files = {}, {}, {}
+    for i in range(3):
+        gt = rng.uniform(0, 100, (40, 40)).astype(np.float32)
+        pred = gt + rng.normal(0, 1.0, gt.shape).astype(np.float32)
+        cop = gt + rng.normal(0, 3.0, gt.shape).astype(np.float32)
+        sid = f"s{i}"
+        for name, arr, d in (("pred", pred, pred_files), ("gt", gt, gt_files),
+                             ("cop", cop, cop_files)):
+            path = tmp_path / f"{sid}_{name}.npy"
+            write_raster(path, arr)
+            d[sid] = path
+    res = summarise_evaluation(pred_files, gt_files, {"COP30": cop_files},
+                               elev_max=929, save_dir=tmp_path, plots=True)
+    assert res["n_samples"] == 3
+    # SR beats the 3m-noise baseline in both views
+    assert res["online"]["SR"]["RMSE"] < res["online"]["COP30"]["RMSE"]
+    assert res["offline"]["SR"]["RMSE"] < res["offline"]["COP30"]["RMSE"]
+    assert abs(res["offline"]["SR"]["RMSE"] - 1.0) < 0.15
+    assert (tmp_path / "summary.json").exists()
+
+
+def test_visualize_panels(tmp_path):
+    from jspsr_tpu.eval.visualize import display_predictions
+
+    rng = np.random.default_rng(4)
+    sample = {
+        "lr_dem": rng.uniform(0.3, 0.6, (32, 32, 1)).astype(np.float32),
+        "hr_dem": rng.uniform(0.3, 0.6, (32, 32, 1)).astype(np.float32),
+        "image": rng.uniform(0, 1, (32, 32, 3)).astype(np.float32),
+    }
+    pred = rng.uniform(0.3, 0.6, (32, 32, 1)).astype(np.float32)
+    fig = display_predictions(sample, pred,
+                              {"min": -80, "max": 929, "log": True},
+                              save_path=tmp_path / "vis.png")
+    assert (tmp_path / "vis.png").exists()
