@@ -49,6 +49,15 @@ def merge_tiles(tiles, full_size: int | None = None):
         return t0
     if full_size is None:
         raise ValueError("full_size required for multi-tile merge")
+    # native C++ fast path (bit-compatible; tests/test_native.py)
+    from jspsr_tpu.utils import native
+
+    if native.have_native():
+        stacked = np.stack([np.asarray(t, np.float32).reshape(k, k, -1)
+                            for t in tiles])
+        out = native.merge_tiles_native(stacked, full_size)
+        if out is not None:
+            return out[:, :, 0] if squeeze else out
     stride, _ = get_tile(full_size, k, n)
     overlap = k - stride
     c = 1 if squeeze else t0.shape[2]
