@@ -156,6 +156,36 @@ def _map_module(mod, jpath, tname, col: _Collector):
             _map_module(child, jpath + (name,), _join(tname, name), col)
 
 
+def expected_torch_keys(module):
+    """The torch state_dict key order this module's importer consumes."""
+    expected = []
+
+    class _Recorder(dict):
+        def __getitem__(self, key):
+            expected.append(key)
+            return np.zeros((1, 1, 1, 1), np.float32)  # transpose-safe dummy
+
+    col = _Collector({})
+    col.sd = _Recorder()
+    _map_module(module, (), "", col)
+    return expected
+
+
+def pair_state_dict(module, foreign_state_dict):
+    """Positional re-keying of a FOREIGN torch checkpoint (reference
+    utils/utils.py:324-349): tensors are matched to this module's torch-name
+    order purely by position, for pretrained files whose module names differ
+    (e.g. the public EDSR weights). Returns a state_dict usable with
+    import_torch_state_dict."""
+    expected = expected_torch_keys(module)
+    values = [v for k, v in foreign_state_dict.items()
+              if not str(k).endswith("num_batches_tracked")]
+    assert len(values) >= len(expected), (
+        f"foreign checkpoint has {len(values)} tensors, need {len(expected)}"
+    )
+    return dict(zip(expected, values))
+
+
 def import_torch_state_dict(module, state_dict, strict: bool = True):
     """Returns (params, state) pytrees for ``module`` from a torch state_dict."""
     col = _Collector(state_dict)
