@@ -264,6 +264,24 @@ class Normalize:
         return "Normalize"
 
 
+class RGB2YCbCr:
+    """Pipeline transform applying BT.601 RGB->YCbCr to image-like keys
+    (reference data_utils.py:460-478)."""
+
+    def __init__(self, y_channel_only: bool = False):
+        self.y_channel_only = y_channel_only
+
+    def __call__(self, sample, ctx: TransformCtx):
+        for k in list(sample):
+            if "img" in k or "image" in k:
+                sample[k] = rgb2ycbcr(sample[k], self.y_channel_only)
+        return sample
+
+    def __str__(self):
+        return ("RGB2YCbCr channel Y only" if self.y_channel_only
+                else "RGB2YCbCr channel Y Cb CR")
+
+
 def rgb2ycbcr(img: np.ndarray, y_only: bool = False) -> np.ndarray:
     """ITU-R BT.601 RGB->YCbCr (matches MATLAB; reference
     data_utils.py:480-520). uint8 [0,255] or float32 [0,1] input."""

@@ -184,3 +184,67 @@ def test_loader_sharding(mini_dfc30):
         dl.set_epoch(0)
         ids.extend(m["id"] for b in dl for m in b["meta"])
     assert sorted(ids) == sorted(ds.id)  # disjoint cover
+
+
+def test_fabdem_source_and_aux_modalities(mini_dfc30):
+    root, train, valid = mini_dfc30
+    p = _cfg(root, train, valid)
+    p.input_data = AttrDict({"FABDEM": 1, "lr_dem": 1, "image": 3,
+                             "canopy": 1})
+    _, eval_tf = build_transforms(p)
+    ds = DFC30(split="valid", transform=eval_tf, **p)
+    s = ds[0]
+    assert s["canopy"].shape == (128, 128, 1)
+    assert 0 <= s["canopy"].min() and s["canopy"].max() <= 1  # /68 scaling
+    assert "FABDEM" in ds.files["lr_dem"][0]
+
+
+def test_coord_channels_local_and_global(mini_dfc30):
+    root, train, valid = mini_dfc30
+    for mode in ("local", "global"):
+        p = _cfg(root, train, valid)
+        p.input_data = AttrDict({"COP30": 1, "lr_dem": 1, "image": 3,
+                                 "coord": 2})
+        p["coord_mode"] = mode
+        _, eval_tf = build_transforms(p)
+        ds = DFC30(split="valid", transform=eval_tf, **p)
+        s = ds[0]
+        assert s["coord"].shape == (128, 128, 2)
+        assert 0 <= s["coord"].min() and s["coord"].max() <= 1
+
+
+def test_r3_tiled_dataset(tmp_path):
+    """334x334 scenes -> 9 deterministic overlapping 128 tiles per image."""
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+
+    root, train, valid = generate_mini_dfc30(
+        tmp_path / "DFC30_3m", train_cities=("Brest",),
+        valid_cities=("Vannes",), n_per_city=1, size=334, resolution=3)
+    p = _cfg(root, train, valid)
+    p.resolution = 3
+    p.patches_per_image = 9
+    p.tensor_kwargs["max"] = 933
+    _, eval_tf = build_transforms(p)
+    ds = DFC30(split="valid", transform=eval_tf, **p)
+    assert len(ds) == 9
+    seen_bboxes = set()
+    for i in range(9):
+        s = ds[i]
+        assert s["lr_dem"].shape == (128, 128, 1)
+        assert s["meta"]["id"].endswith(f"_{i}")
+        seen_bboxes.add(s["meta"]["bbox"])
+    assert len(seen_bboxes) == 9  # all distinct tiles
+
+
+def test_rgb2ycbcr_transform_class():
+    from jspsr_tpu.data.transforms import RGB2YCbCr, rgb2ycbcr, ycbcr2rgb
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+    s = {"image": img.copy(), "meta": {}}
+    s = RGB2YCbCr()(s, None)
+    np.testing.assert_allclose(s["image"], rgb2ycbcr(img), rtol=1e-6)
+    # matlab-convention round trip
+    y = rgb2ycbcr(img)
+    back = ycbcr2rgb((y / 255.0).astype(np.float32))
+    assert np.abs(back - img).max() < 4.0  # uint8 quantization in the conversion
