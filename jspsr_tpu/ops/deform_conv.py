@@ -237,8 +237,15 @@ def deform_conv2d(
     if impl == "auto":
         impl = "mxu" if jax.default_backend() != "cpu" else "gather"
     im2col = deform_im2col_mxu if impl == "mxu" else deform_im2col
+    # Deformable sampling needs fp32: bf16 offsets quantize positions to
+    # ~1/64 px, and bf16 one-hot compare/matmul compiles pathologically on
+    # TPU. Compute the sampling in fp32, cast back at the end.
+    out_dtype = x.dtype
     cols = im2col(
-        x, offset, mask, (kh, kw), stride=stride, padding=padding, dilation=dilation
+        x.astype(jnp.float32),
+        offset.astype(jnp.float32),
+        None if mask is None else mask.astype(jnp.float32),
+        (kh, kw), stride=stride, padding=padding, dilation=dilation,
     )
     b, ho, wo = cols.shape[:3]
     # Contract (K, Cin) against the kernel: one MXU matmul.
@@ -250,7 +257,7 @@ def deform_conv2d(
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y
+    return y.astype(out_dtype)
 
 
 def insert_zero_center_offset(offset: jax.Array, kernel_size: int = 3) -> jax.Array:

@@ -99,17 +99,29 @@ def _rmsprop(learning_rate, momentum, weight_decay):
     )
 
 
-def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning-rate hyperparameter(s) in-place-ish."""
+DIFF_LR = 0.0003  # per-module LR for 'postprocessor' (common_config.py:252)
 
-    def visit(s):
+
+def set_learning_rate(opt_state, lr: float, base_lr: float | None = None):
+    """Update the injected learning-rate hyperparameter(s).
+
+    With diff_lr (multi_transform), torch steps every param group by the
+    same multiplicative schedule; the 'diff' group therefore follows
+    DIFF_LR * (lr / base_lr)."""
+    factor = (lr / base_lr) if base_lr else None
+
+    def visit(s, group=None):
         if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            value = lr
+            if group == "diff":
+                value = DIFF_LR * factor if factor is not None else DIFF_LR
             s.hyperparams["learning_rate"] = jnp.asarray(
-                lr, s.hyperparams["learning_rate"].dtype
+                value, s.hyperparams["learning_rate"].dtype
             )
         if hasattr(s, "inner_states"):  # multi_transform
-            for inner in s.inner_states.values():
-                visit(inner.inner_state if hasattr(inner, "inner_state") else inner)
+            for name, inner in s.inner_states.items():
+                visit(inner.inner_state if hasattr(inner, "inner_state")
+                      else inner, group=name)
 
     visit(opt_state)
     return opt_state

@@ -129,7 +129,8 @@ class Trainer:
     def train_one_epoch(self, epoch: int):
         p = self.p
         lr = self.lr_schedule(epoch)
-        set_learning_rate(self.state.opt_state, lr)
+        set_learning_rate(self.state.opt_state, lr,
+                          base_lr=p.optimizer_kwargs.lr)
         self.train_loader.set_epoch(epoch)
         loss_meter = AverageMeter("Total")
         n_samples = 0

@@ -230,3 +230,31 @@ def test_data_parallel_matches_single_device():
     close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
     assert close.mean() > 0.99, f"only {close.mean():.2%} of grads close"
     assert np.abs(a - b).max() < 1e-3
+
+
+def test_diff_lr_groups():
+    """diff_lr: 'postprocessor' params get DIFF_LR scaled by the schedule."""
+    from jspsr_tpu.train.optim import DIFF_LR
+    import optax
+
+    p = _p(optimizer_kwargs={"lr": 1e-3, "weight_decay": 0.0,
+                             "momentum": 0.9, "diff_lr": True})
+    params = {"conv": {"w": jnp.ones((2, 2))},
+              "postprocessor": {"w": jnp.ones((2, 2))}}
+    opt = build_optimizer(p, params)
+    state = opt.init(params)
+    set_learning_rate(state, 5e-4, base_lr=1e-3)  # factor 0.5
+    lrs = {}
+    for name, inner in state.inner_states.items():
+        s = inner.inner_state if hasattr(inner, "inner_state") else inner
+        lrs[name] = float(s.hyperparams["learning_rate"])
+    assert lrs["base"] == pytest.approx(5e-4)
+    assert lrs["diff"] == pytest.approx(DIFF_LR * 0.5)
+    # gradient step actually moves both groups differently
+    g = {"conv": {"w": jnp.ones((2, 2))},
+         "postprocessor": {"w": jnp.ones((2, 2))}}
+    updates, _ = opt.update(g, state, params)
+    new = optax.apply_updates(params, updates)
+    d_base = float(jnp.abs(new["conv"]["w"] - 1).mean())
+    d_diff = float(jnp.abs(new["postprocessor"]["w"] - 1).mean())
+    assert d_base > 0 and d_diff > 0 and abs(d_base - d_diff) > 1e-6
