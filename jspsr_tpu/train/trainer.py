@@ -147,9 +147,10 @@ class Trainer:
         if losses is not None:
             loss_meter.update(float(losses["Total"]), 1)
         dt = time.perf_counter() - t0
+        self.last_throughput = n_samples / max(dt, 1e-9)  # tiles/sec
         if self.verbose:
             print(f"E{epoch:03d} loss {loss_meter.avg:.4e} lr {lr:.2e} "
-                  f"({n_samples / max(dt, 1e-9):.1f} samples/s)")
+                  f"({self.last_throughput:.1f} samples/s)")
         return loss_meter.avg, lr
 
     def evaluate(self, compare_input: bool = False, save_dir=None):
@@ -171,7 +172,9 @@ class Trainer:
         warmup = (p.get("scheduler_kwargs") or {}).get("warmup_epoch", 0)
         for epoch in range(self.start_epoch, p.epochs):
             train_loss, lr = self.train_one_epoch(epoch)
-            scalars = {"lr": lr, "train_loss": train_loss}
+            scalars = {"lr": lr, "train_loss": train_loss,
+                       "train_tiles_per_sec": getattr(self, "last_throughput",
+                                                      None)}
             if do_eval(epoch, p.epochs, p.get("val_interval", 1),
                        p.get("val_start_epoch", 1), warmup):
                 result = self.evaluate()

@@ -92,3 +92,20 @@ def test_cli_validate_smoke(tmp_path):
     res = main(["--config", str(cfg_path), "--val",
                 "--result-dir", str(tmp_path / "run_val")])
     assert np.isfinite(res["RMSE"])
+
+
+def test_gen_crop_subset(tmp_path):
+    from jspsr_tpu.utils.geo_prep import gen_crop_subset
+    from jspsr_tpu.data.raster_io import write_raster, read_raster, default_profile
+
+    rng = np.random.default_rng(0)
+    big = rng.normal(size=(64, 64, 1)).astype(np.float32)
+    src = tmp_path / "big.npy"
+    write_raster(src, big, default_profile(64, 64, 1, "float32", 1000.0,
+                                           2000.0, 8.0))
+    paths = gen_crop_subset(src, tmp_path / "crops", crop_size=32)
+    assert len(paths) == 4
+    tile, prof = read_raster(paths[3], with_profile=True)
+    np.testing.assert_array_equal(tile, big[32:, 32:])
+    assert prof["transform"][2] == 1000.0 + 8.0 * 32  # shifted origin
+    assert prof["transform"][5] == 2000.0 - 8.0 * 32
