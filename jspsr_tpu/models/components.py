@@ -6,6 +6,7 @@ All blocks are NHWC functional modules from jspsr_tpu.nn.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from jspsr_tpu import nn
@@ -38,8 +39,6 @@ class ChannelAttention(Module):
 
         avg = fc(nn.global_avg_pool(x))
         mx = fc(nn.global_max_pool(x))
-        import jax
-
         return jax.nn.sigmoid(avg + mx), {}
 
 
@@ -51,8 +50,6 @@ class SpatialAttention(Module):
         self.conv1 = nn.Conv2d(2, 1, kernel_size, padding=kernel_size // 2, bias=False)
 
     def __call__(self, params, state, x, train: bool = False):
-        import jax
-
         avg = jnp.mean(x, axis=-1, keepdims=True)
         mx = jnp.max(x, axis=-1, keepdims=True)
         y = jnp.concatenate([avg, mx], axis=-1)

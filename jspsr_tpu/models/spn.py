@@ -13,6 +13,7 @@ The deformable conv is the framework's fused XLA/Pallas primitive
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from jspsr_tpu import nn
@@ -42,8 +43,6 @@ class Generator(Module):
                                    bn=False, relu=False)
 
     def __call__(self, params, state, dem, context, train: bool = False):
-        import jax
-
         new_state = {}
         d1, _ = self.convd1(params["convd1"], {}, dem, train=train)
         d2, _ = self.convd2(params["convd2"], {}, d1, train=train)
