@@ -42,10 +42,30 @@ def main(argv=None):
     if args.val:
         assert ckpt, "--val requires model_kwargs.checkpoint"
         trainer.load(ckpt, resume=False)
-        result = trainer.evaluate(
-            compare_input=True, save_dir=result_dir / "predictions"
-        )
+        pred_dir = result_dir / "predictions"
+        result = trainer.evaluate(compare_input=True, save_dir=pred_dir)
         print(f"Validation: {result}")
+        # offline whole-split summary vs the input product (reference
+        # --val path ends in summarise_evaluation, main.py:148-159)
+        try:
+            from jspsr_tpu.eval.summarise import summarise_evaluation
+
+            gt_files = {sid: f for sid, f in
+                        zip(trainer.valid_set.id,
+                            trainer.valid_set.files["hr_dem"])}
+            lr_files = {sid: f for sid, f in
+                        zip(trainer.valid_set.id,
+                            trainer.valid_set.files["lr_dem"])}
+            pred_files = {f.stem: f for f in pred_dir.iterdir()
+                          if f.suffix in (".tif", ".npy")}
+            summary = summarise_evaluation(
+                pred_files, gt_files, {trainer.valid_set.lr_source: lr_files},
+                elev_max=p.tensor_kwargs.get("max", 929),
+                border=0.0, save_dir=result_dir, plots=True,
+            )
+            print(f"Summary (offline pooled): {summary['offline']}")
+        except Exception as e:
+            print(f"[summarise] skipped: {e}")
         return result
 
     if ckpt:

@@ -264,6 +264,37 @@ class Normalize:
         return "Normalize"
 
 
+class ToImage:
+    """[0,1] float array -> [0,255] int image (reference data_utils.py:400-417)."""
+
+    def __call__(self, data):
+        data = np.asarray(data, np.float32)
+        assert data.min() >= 0 and data.max() <= 1, (data.min(), data.max())
+        return (255.0 * data).astype(int)
+
+    def __str__(self):
+        return "ToImage"
+
+
+class ToDEM:
+    """[0,1] float array -> elevation meters (reference data_utils.py:419-457)."""
+
+    def __init__(self, elev_min, elev_max, elev_log: bool = False):
+        self.elev_min = elev_min
+        self.elev_max = elev_max
+        self.elev_log = elev_log
+
+    def __call__(self, data):
+        data = np.asarray(data, np.float32)
+        assert data.min() >= 0 and data.max() <= 1, (data.min(), data.max())
+        from jspsr_tpu.data.normalize import descale_data
+
+        return descale_data(data, self.elev_min, self.elev_max, self.elev_log)
+
+    def __str__(self):
+        return "ToDEM"
+
+
 class RGB2YCbCr:
     """Pipeline transform applying BT.601 RGB->YCbCr to image-like keys
     (reference data_utils.py:460-478)."""

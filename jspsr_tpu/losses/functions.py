@@ -73,6 +73,37 @@ def bce_with_logits_loss(pred, gt):
     )
 
 
+def softmax_ce_loss(pred, label, ignore_index: int = 255):
+    """Semantic-seg cross entropy with ignore label (reference
+    loss_functions.py:11-28). pred NHWC logits; label NHW1 or NHW ints."""
+    label = jnp.squeeze(label, -1) if label.ndim == pred.ndim else label
+    label = label.astype(jnp.int32)
+    valid = (label != ignore_index)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    safe = jnp.where(valid, label, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def balanced_bce_loss(pred, gt, pos_weight=None):
+    """HED-style class-balanced BCE-with-logits (reference
+    loss_functions.py:31-80), size-averaged."""
+    labels = (gt >= 0.5).astype(pred.dtype)
+    if pos_weight is None:
+        n_pos = jnp.sum(labels)
+        n_neg = jnp.sum(1.0 - labels)
+        w = n_neg / jnp.maximum(n_pos + n_neg, 1.0)
+    else:
+        w = pos_weight
+    gt0 = (pred >= 0).astype(pred.dtype)
+    loss_val = pred * (labels - gt0) - jnp.log1p(
+        jnp.exp(pred - 2.0 * pred * gt0)
+    )
+    loss_pos = -jnp.sum(labels * loss_val)
+    loss_neg = -jnp.sum((1.0 - labels) * loss_val)
+    return (w * loss_pos + (1.0 - w) * loss_neg) / gt.size
+
+
 _REGISTRY = {
     "l1": l1_loss,
     "l2": l2_loss,
@@ -86,6 +117,8 @@ _REGISTRY = {
     "ssim": ssim_loss,
     "vanilla": bce_with_logits_loss,
     "bce": bce_with_logits_loss,
+    "softmax": softmax_ce_loss,
+    "balanced_bce": balanced_bce_loss,
 }
 
 

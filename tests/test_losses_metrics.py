@@ -165,3 +165,39 @@ def test_performance_meter_bundle():
     scores = pm.get_score()
     assert set(scores) == {"PSNR", "RMSE"}
     assert all(np.isfinite(v) for v in scores.values())
+
+
+def test_seg_losses_match_torch():
+    from jspsr_tpu.losses.functions import balanced_bce_loss, softmax_ce_loss
+
+    rng = np.random.default_rng(20)
+    # softmax CE with ignore label
+    logits = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+    label = rng.integers(0, 5, (2, 8, 8, 1)).astype(np.int64)
+    label[0, 0, 0, 0] = 255  # ignored
+    ref = torch.nn.functional.nll_loss(
+        torch.log_softmax(torch.from_numpy(logits.transpose(0, 3, 1, 2)), 1),
+        torch.from_numpy(label[:, :, :, 0]), ignore_index=255)
+    got = softmax_ce_loss(jnp.asarray(logits), jnp.asarray(label))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    # balanced BCE vs a direct numpy transliteration of the reference math
+    out = rng.normal(size=(1, 6, 6, 1)).astype(np.float32)
+    lab = (rng.uniform(size=(1, 6, 6, 1)) > 0.7).astype(np.float32)
+    labels = (lab >= 0.5).astype(np.float32)
+    w = (1 - labels).sum() / labels.size
+    gt0 = (out >= 0).astype(np.float32)
+    lv = out * (labels - gt0) - np.log1p(np.exp(out - 2 * out * gt0))
+    ref2 = (w * (-(labels * lv).sum()) + (1 - w) * (-((1 - labels) * lv).sum())) / lab.size
+    got2 = balanced_bce_loss(jnp.asarray(out), jnp.asarray(lab))
+    np.testing.assert_allclose(float(got2), ref2, rtol=1e-5)
+
+
+def test_to_image_to_dem_helpers():
+    from jspsr_tpu.data.transforms import ToDEM, ToImage
+
+    x = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+    img = ToImage()(x)
+    assert img.max() == 255 and img.min() == 0
+    dem = ToDEM(-80, 929, elev_log=True)(x)
+    np.testing.assert_allclose(dem[0, 0], -80 + 1, atol=1e-3)  # exp(0)+min

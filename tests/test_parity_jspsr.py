@@ -85,3 +85,37 @@ def test_edsr_forward_parity(spn):
     y, _ = model(params, state, _nhwc(x), train=False)
     got = np.transpose(np.asarray(y), (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_jspsr_cat_only_false_path():
+    """Experimental fusion path (reference JSPSR.py:28, basics.py:129-137):
+    Guide applies a conv after concat and decoder skips are additive."""
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1), spn=True, cat_only=False)
+    params, state = import_params_or_init(model)
+    rng = np.random.default_rng(0)
+    dem = jnp.asarray(rng.uniform(0.2, 0.8, (1, 32, 32, 1)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    y, _ = model(params, state, [dem, img], train=False)
+    assert y.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(y)).all()
+    # guide now owns parameters (conv fusion)
+    assert "conv" in params["guide1"]
+
+
+def test_jspsr_generator_leaky_and_spn_scale():
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1), spn=True, spn_scale=0.5,
+                  generator_leaky=True)
+    params, state = import_params_or_init(model)
+    rng = np.random.default_rng(1)
+    dem = jnp.asarray(rng.uniform(0.2, 0.8, (1, 16, 16, 1)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    y, _ = model(params, state, [dem, img], train=False)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def import_params_or_init(model):
+    import jax
+
+    return model.init(jax.random.PRNGKey(0))
