@@ -36,6 +36,18 @@ def save_prediction(pred, meta, save_dir, tensor_kwargs, base_elev=0.0):
     return path
 
 
+def get_visual_id(num_visual: int, num_samples: int, id_visual=None):
+    """Sample ids to visualize (reference evaluate_utils.py:154-175):
+    -1 -> all; N -> N evenly spaced; id_visual pins one specific id."""
+    if num_visual == -1:
+        return list(range(num_samples))
+    ids = list(np.linspace(0, num_samples - 1, max(num_visual, 0),
+                           dtype=int)) if num_visual else []
+    if id_visual is not None and 0 <= id_visual < num_samples:
+        ids.append(int(id_visual))
+    return sorted(set(int(i) for i in ids))
+
+
 def eval_model(
     p,
     loader,
@@ -45,6 +57,7 @@ def eval_model(
     criterion=None,
     compare_input: bool = False,
     save_dir=None,
+    visual_dir=None,
     verbose: bool = False,
 ):
     """Returns dict with loss, metric scores, and optional input-baseline
@@ -56,7 +69,12 @@ def eval_model(
     )
     loss_meter = AverageMeter("val_loss")
     elev_log = bool(p.tensor_kwargs.get("log", False))
+    visual_ids = set()
+    if visual_dir is not None and p.get("val_num_visual"):
+        visual_ids = set(get_visual_id(p.val_num_visual, len(loader.dataset),
+                                       p.get("val_id_visual")))
 
+    sample_idx = 0
     for batch in loader:
         inputs_np, gt_np, base_elev, meta = build_batch_inputs(
             batch, p.model_name, p.input_data
@@ -78,6 +96,20 @@ def eval_model(
                     np.asarray(pred[i]), m, save_dir, p.tensor_kwargs,
                     base_elev=float(base_elev[i]),
                 )
+        if visual_ids:
+            from jspsr_tpu.eval.visualize import display_predictions
+
+            for i, m in enumerate(meta):
+                if sample_idx + i in visual_ids:
+                    sample = {k: batch[k][i] for k in
+                              ("lr_dem", "hr_dem", "image", "mask", "canopy")
+                              if k in batch}
+                    display_predictions(
+                        sample, np.asarray(pred[i]), dict(p.tensor_kwargs),
+                        base_elev=float(base_elev[i]),
+                        save_path=Path(visual_dir) / f"{m['id']}.png",
+                    )
+        sample_idx += len(meta)
 
     result = {"loss": loss_meter.avg, **meter.get_score(verbose=verbose)}
     if meter_in is not None:

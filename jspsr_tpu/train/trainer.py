@@ -153,12 +153,15 @@ class Trainer:
                   f"({self.last_throughput:.1f} samples/s)")
         return loss_meter.avg, lr
 
-    def evaluate(self, compare_input: bool = False, save_dir=None):
+    def evaluate(self, compare_input: bool = False, save_dir=None,
+                 visual_dir=None):
+        if visual_dir is None and self.p.get("val_save_visual"):
+            visual_dir = self.result_dir / "visuals"
         return eval_model(
             self.p, self.valid_loader, self.eval_step,
             self.state.params, self.state.bn_state, self.criterion,
             compare_input=compare_input, save_dir=save_dir,
-            verbose=self.verbose,
+            visual_dir=visual_dir, verbose=self.verbose,
         )
 
     # ------------------------------------------------------------------

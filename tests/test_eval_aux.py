@@ -144,3 +144,44 @@ def test_visualize_panels(tmp_path):
                               {"min": -80, "max": 929, "log": True},
                               save_path=tmp_path / "vis.png")
     assert (tmp_path / "vis.png").exists()
+
+
+def test_eval_visuals_written(tmp_path):
+    """val_num_visual wiring: panels saved during eval."""
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+    from jspsr_tpu.data.dfc30 import DFC30
+    from jspsr_tpu.data.loader import DataLoader
+    from jspsr_tpu.data.transforms import build_transforms
+    from jspsr_tpu.eval.loop import eval_model, get_visual_id
+    from jspsr_tpu.train.step import make_eval_step
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    assert get_visual_id(2, 10) == [0, 9]
+    assert get_visual_id(-1, 3) == [0, 1, 2]
+    assert get_visual_id(0, 10, id_visual=4) == [4]
+
+    root, train, valid = generate_mini_dfc30(
+        tmp_path / "d", train_cities=("Brest",), valid_cities=("Vannes",),
+        n_per_city=2, size=32)
+    p = AttrDict({
+        "model_name": "JSPSR", "dataset": "DFC30", "dataset_path": str(root),
+        "resolution": 8, "train_set": train, "valid_set": valid,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": False, "patch_size": 32,
+        "crop_mode": "tile", "patches_per_image": 1,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+        "metric": {"RMSE": {"package": "local", "border": 0.0,
+                            "min": -80, "max": 929}},
+        "val_num_visual": 1,
+    })
+    _, eval_tf = build_transforms(p)
+    ds = DFC30(split="valid", transform=eval_tf, **p)
+    dl = DataLoader(ds, 1, num_workers=1)
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model)
+    res = eval_model(p, dl, eval_step, params, bn,
+                     visual_dir=tmp_path / "vis")
+    assert np.isfinite(res["RMSE"])
+    assert len(list((tmp_path / "vis").glob("*.png"))) >= 1
