@@ -136,6 +136,10 @@ class Trainer:
         n_samples = 0
         t0 = time.perf_counter()
         losses = None
+
+        # NOTE: jax dispatch is asynchronous — train_step returns immediately
+        # with future arrays, so host-side decode + device_put of batch i+1
+        # naturally overlaps the device compute of step i.
         for batch in self.train_loader:
             inputs_np, gt_np, _, _ = build_batch_inputs(
                 batch, p.model_name, p.input_data
