@@ -52,6 +52,21 @@ def replicate_state(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def make_2d_mesh(n_data: int, n_space: int, devices=None) -> Mesh:
+    """2D mesh for combined data x spatial parallelism."""
+    devices = list(devices if devices is not None else jax.devices())
+    arr = np.array(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(arr, ("data", "space"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC batches over (batch, H): XLA's SPMD partitioner inserts
+    the conv halo exchanges automatically, so large scenes can be split
+    across chips without manual shard_map halos (verified equal to the
+    replicated forward in tests)."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
 def pad_batch_to(tree, batch: int):
     """Pad the leading axis up to ``batch`` (repeat-edge) so the global batch
     divides the mesh; returns (padded_tree, real_count)."""

@@ -258,3 +258,19 @@ def test_diff_lr_groups():
     d_base = float(jnp.abs(new["conv"]["w"] - 1).mean())
     d_diff = float(jnp.abs(new["postprocessor"]["w"] - 1).mean())
     assert d_base > 0 and d_diff > 0 and abs(d_base - d_diff) > 1e-6
+
+
+def test_spatial_sharding_matches_replicated():
+    """H-sharded forward (XLA halo exchange) == replicated forward."""
+    from jspsr_tpu.parallel.mesh import make_2d_mesh, spatial_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(5)
+    mesh = make_2d_mesh(2, 2, jax.devices()[:4])
+    fn = jax.jit(lambda d, i: model(params, bn, [d, i], train=False)[0])
+    sh = spatial_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    y_sharded = fn(jax.device_put(inputs[0], sh), jax.device_put(inputs[1], sh))
+    y_repl = fn(jax.device_put(inputs[0], rep), jax.device_put(inputs[1], rep))
+    np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_repl),
+                               rtol=1e-4, atol=1e-5)
