@@ -21,12 +21,23 @@ import optax
 from jspsr_tpu.train.state import TrainState, deep_merge
 
 
-def make_train_step(model, criterion, optimizer, donate: bool = True):
-    """Returns train_step(state, inputs, gt) -> (state, loss_dict)."""
+def make_train_step(model, criterion, optimizer, donate: bool = True,
+                    remat: bool = False):
+    """Returns train_step(state, inputs, gt) -> (state, loss_dict).
+
+    remat=True rematerializes the forward during the backward pass
+    (jax.checkpoint): activation memory drops to the forward live set at the
+    cost of ~one extra forward — the standard TPU trade of FLOPs (abundant)
+    for HBM (the constraint). Lets the flagship train at 2x the batch."""
 
     def train_step(state: TrainState, inputs, gt):
+        def fwd(params, inputs):
+            return model(params, state.bn_state, inputs, train=True)
+
+        fwd_fn = jax.checkpoint(fwd) if remat else fwd
+
         def loss_fn(params):
-            pred, bn_updates = model(params, state.bn_state, inputs, train=True)
+            pred, bn_updates = fwd_fn(params, inputs)
             losses = criterion(pred, gt)
             return losses["Total"], (losses, bn_updates)
 

@@ -74,7 +74,8 @@ class Trainer:
         self.lr_schedule = build_lr_schedule(p)
 
         self.train_step = make_train_step(self.model, self.criterion,
-                                          self.optimizer)
+                                          self.optimizer,
+                                          remat=p.get("remat", False))
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data

@@ -274,3 +274,31 @@ def test_spatial_sharding_matches_replicated():
     y_repl = fn(jax.device_put(inputs[0], rep), jax.device_put(inputs[1], rep))
     np.testing.assert_allclose(np.asarray(y_sharded), np.asarray(y_repl),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint remat: identical loss/params, lower activation memory."""
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(6)
+    p = _p()
+    criterion = build_criterion({"L1": 1, "L2": 1})
+    opt = build_optimizer(p, params)
+
+    def run(remat):
+        state = TrainState(params, bn, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        set_learning_rate(state.opt_state, 1e-3)
+        step = make_train_step(model, criterion, opt, donate=False,
+                               remat=remat)
+        state, losses = step(state, inputs, gt)
+        return float(losses["Total"]), state
+
+    l0, s0 = run(False)
+    l1, s1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        # recompute reorders float ops slightly; Adam normalizes tiny diffs
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
