@@ -236,11 +236,25 @@ def deform_conv2d(
     kh, kw, cin, cout = weight.shape
     if impl == "auto":
         impl = "mxu" if jax.default_backend() != "cpu" else "gather"
-    im2col = deform_im2col_mxu if impl == "mxu" else deform_im2col
     # Deformable sampling needs fp32: bf16 offsets quantize positions to
     # ~1/64 px, and bf16 one-hot compare/matmul compiles pathologically on
     # TPU. Compute the sampling in fp32, cast back at the end.
     out_dtype = x.dtype
+    if impl == "mxu":
+        # custom-VJP path: hand-written backward (matmuls, recomputed
+        # one-hots) instead of autodiff's HBM-heavy transposed scan
+        from jspsr_tpu.ops.deform_vjp import deform_conv2d_mxu_vjp
+
+        out = deform_conv2d_mxu_vjp(
+            x.astype(jnp.float32),
+            offset.astype(jnp.float32),
+            weight.astype(jnp.float32),
+            None if bias is None else bias.astype(jnp.float32),
+            None if mask is None else mask.astype(jnp.float32),
+            (kh, kw), stride, padding, dilation,
+        )
+        return out.astype(out_dtype)
+    im2col = deform_im2col
     cols = im2col(
         x.astype(jnp.float32),
         offset.astype(jnp.float32),
