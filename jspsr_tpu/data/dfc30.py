@@ -148,6 +148,15 @@ class DFC30:
                     )
 
         self.base_len = len(self.id)
+        if kwargs.get("preload"):
+            # decode every raster once into an unbounded cache (reference
+            # 'preload' config key; ~GBs for the real dataset)
+            self._cache = _LRU(capacity=10**9)
+            from concurrent.futures import ThreadPoolExecutor
+
+            unique = sorted({f for fl in self.files.values() for f in fl})
+            with ThreadPoolExecutor(8) as pool:
+                list(pool.map(self._read, unique))
         if kwargs.get("verbose"):
             print(f"DFC30 {self.resolution}m {self.split}: {len(self)} samples "
                   f"({self.base_len} images x {self.patches_per_image} tiles)")

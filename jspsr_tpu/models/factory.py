@@ -30,6 +30,7 @@ def build_model(p):
             spn_scale=mk.get("spn_scale", 1.0),
             cat_only=mk.get("cat_only", True),
             generator_leaky=mk.get("generator_leaky", False),
+            remat_stages=mk.get("remat_stages", False),
         )
     if name == "edsr":
         from jspsr_tpu.models.edsr import EDSR

@@ -58,6 +58,7 @@ class JSPSR(Module):
         spn_scale: float = 1.0,
         cat_only: bool = True,
         generator_leaky: bool = False,
+        remat_stages: bool = False,
     ):
         super().__init__()
         self.name = "JSPSR"
@@ -66,6 +67,10 @@ class JSPSR(Module):
         assert len(in_channels) > 1, "At least 2 input modalities are required"
         assert "lr_dem" in in_channels
         self.cat_only = cat_only
+        # per-stage rematerialization: save only stage-boundary activations
+        # during backward (finer-grained than whole-forward jax.checkpoint;
+        # unlocks larger train batches on 16G HBM)
+        self.remat_stages = remat_stages
 
         self.has_img = "image" in in_channels
         aux = [k for k in AUX_KEYS if k in in_channels]
@@ -158,9 +163,16 @@ class JSPSR(Module):
         ns = {}
 
         def run(name, *args):
-            out, s = getattr(self, name)(
-                params.get(name, {}), state.get(name, {}), *args, train=train
-            )
+            mod = getattr(self, name)
+
+            def f(p, s, *a):
+                return mod(p, s, *a, train=train)
+
+            if self.remat_stages and train and name.startswith(
+                ("layer", "conv", "generator")
+            ):
+                f = jax.checkpoint(f)
+            out, s = f(params.get(name, {}), state.get(name, {}), *args)
             if s:
                 ns[name] = s
             return out

@@ -302,3 +302,55 @@ def test_remat_train_step_matches_plain():
         # recompute reorders float ops slightly; Adam normalizes tiny diffs
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+
+
+def test_stage_remat_matches_plain():
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    rng = np.random.default_rng(7)
+    dem = jnp.asarray(rng.uniform(0.3, 0.6, (2, 32, 32, 1)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    gt = jnp.clip(dem + 0.02, 0, 1)
+    criterion = build_criterion({"L1": 1, "L2": 1})
+
+    def grads(remat_stages):
+        model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                      layers=(1, 1, 1, 1), remat_stages=remat_stages)
+        params, bn = model.init(jax.random.PRNGKey(0))
+
+        def loss(prm):
+            pred, _ = model(prm, bn, [dem, img], train=True)
+            return criterion(pred, gt)["Total"]
+
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    (l0, g0), (l1, g1) = grads(False), grads(True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_preload_dataset(tmp_path):
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+    from jspsr_tpu.data.dfc30 import DFC30
+    from jspsr_tpu.data.transforms import build_transforms
+
+    root, train, valid = generate_mini_dfc30(
+        tmp_path / "d", train_cities=("Brest",), valid_cities=("Vannes",),
+        n_per_city=2, size=32)
+    p = AttrDict({
+        "dataset": "DFC30", "dataset_path": str(root), "resolution": 8,
+        "train_set": train, "valid_set": valid, "preload": True,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "patch_size": 32, "crop_mode": "tile",
+        "patches_per_image": 1, "augment": False,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+    })
+    _, eval_tf = build_transforms(p)
+    ds = DFC30(split="train", transform=eval_tf, **p)
+    assert len(ds._cache.data) == 6  # 2 samples x 3 modalities preloaded
+    s = ds[0]
+    assert s["lr_dem"].shape == (32, 32, 1)
