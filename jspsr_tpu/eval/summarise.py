@@ -46,6 +46,35 @@ def _crop(a: np.ndarray, border: float) -> np.ndarray:
     return a[bh:h - bh, bw:w - bw]
 
 
+def merge_tiled_predictions(pred_files: dict, tiles_per_scene: int,
+                            full_size: int, save_dir=None):
+    """Group per-tile predictions '<scene_id>_<t>' into full scenes via the
+    feathered mosaic (reference merge_dem, utils/utils.py:914-967).
+    Returns {scene_id: path-or-array}."""
+    from collections import defaultdict
+
+    from jspsr_tpu.data.raster_io import write_raster
+    from jspsr_tpu.eval.mosaic import merge_tiles
+
+    groups = defaultdict(dict)
+    for sid, path in pred_files.items():
+        base, _, t = str(sid).rpartition("_")
+        groups[base][int(t)] = path
+    merged = {}
+    for base, tiles in groups.items():
+        assert len(tiles) == tiles_per_scene, (base, sorted(tiles))
+        arrs = [np.squeeze(read_raster(tiles[t]))
+                for t in range(tiles_per_scene)]
+        scene = merge_tiles(arrs, full_size=full_size)
+        if save_dir is not None:
+            path = Path(save_dir) / f"{base}.npy"
+            write_raster(path, scene.astype(np.float32))
+            merged[base] = path
+        else:
+            merged[base] = scene
+    return merged
+
+
 def summarise_evaluation(
     pred_files: dict,
     gt_files: dict,
@@ -54,10 +83,18 @@ def summarise_evaluation(
     border: float = 0.0,
     save_dir=None,
     plots: bool = False,
+    tiles_per_scene: int | None = None,
+    full_size: int | None = None,
 ):
     """pred_files / gt_files: {sample_id: path}; baseline_files:
-    {product_name: {sample_id: path}}. Returns {'online': ..., 'offline': ...}
-    with per-product metric dicts."""
+    {product_name: {sample_id: path}}. With tiles_per_scene/full_size set
+    (the r3 protocol: 9 tiles, 334), per-tile predictions are feather-merged
+    into full scenes first. Returns {'online': ..., 'offline': ...}."""
+    if tiles_per_scene and tiles_per_scene > 1:
+        pred_files = merge_tiled_predictions(
+            pred_files, tiles_per_scene, full_size,
+            save_dir=Path(save_dir) / "mosaics" if save_dir else None,
+        )
     ids = sorted(set(pred_files) & set(gt_files))
     assert ids, "no overlapping prediction/gt ids"
     products = {"SR": pred_files}
@@ -71,7 +108,10 @@ def summarise_evaluation(
         for name, files in products.items():
             if sid not in files:
                 continue
-            arr = np.squeeze(read_raster(files[sid])).astype(np.float64)
+            src = files[sid]
+            arr = np.squeeze(
+                src if isinstance(src, np.ndarray) else read_raster(src)
+            ).astype(np.float64)
             if name != "SR":
                 arr = _crop(arr, border)
             if arr.shape != gt.shape:  # SR predictions may be pre-cropped

@@ -185,3 +185,33 @@ def test_eval_visuals_written(tmp_path):
                      visual_dir=tmp_path / "vis")
     assert np.isfinite(res["RMSE"])
     assert len(list((tmp_path / "vis").glob("*.png"))) >= 1
+
+
+def test_summarise_tiled_r3_protocol(tmp_path):
+    """9 per-tile predictions merge into full scenes before pooled metrics."""
+    from jspsr_tpu.config.loader import get_tile
+
+    rng = np.random.default_rng(5)
+    full, k = 334, 128
+    stride, n = get_tile(full, k)
+    pred_files, gt_files = {}, {}
+    for s in range(2):
+        gt = rng.uniform(0, 100, (full, full)).astype(np.float32)
+        noisy = gt + rng.normal(0, 0.5, gt.shape).astype(np.float32)
+        gt_path = tmp_path / f"scene{s}_gt.npy"
+        write_raster(gt_path, gt)
+        gt_files[f"scene{s}"] = gt_path
+        for t in range(n):
+            r, c = t // 3, t % 3
+            tile = noisy[stride * r:stride * r + k, stride * c:stride * c + k]
+            tp = tmp_path / f"scene{s}_{t}.npy"
+            write_raster(tp, tile)
+            pred_files[f"scene{s}_{t}"] = tp
+    from jspsr_tpu.eval.summarise import summarise_evaluation
+
+    res = summarise_evaluation(pred_files, gt_files, elev_max=929,
+                               tiles_per_scene=n, full_size=full,
+                               save_dir=tmp_path / "out")
+    assert res["n_samples"] == 2
+    assert abs(res["offline"]["SR"]["RMSE"] - 0.5) < 0.05
+    assert (tmp_path / "out" / "mosaics" / "scene0.npy").exists()
