@@ -58,10 +58,13 @@ def main(argv=None):
                             trainer.valid_set.files["lr_dem"])}
             pred_files = {f.stem: f for f in pred_dir.iterdir()
                           if f.suffix in (".tif", ".npy")}
+            tiles = p.get("patches_per_image") or 1
             summary = summarise_evaluation(
                 pred_files, gt_files, {trainer.valid_set.lr_source: lr_files},
                 elev_max=p.tensor_kwargs.get("max", 929),
                 border=0.0, save_dir=result_dir, plots=True,
+                tiles_per_scene=tiles if tiles > 1 else None,
+                full_size=334 if tiles > 1 else None,
             )
             print(f"Summary (offline pooled): {summary['offline']}")
         except Exception as e:
