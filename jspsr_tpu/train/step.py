@@ -12,10 +12,7 @@ over ICI (see jspsr_tpu.parallel).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from jspsr_tpu.train.state import TrainState, deep_merge

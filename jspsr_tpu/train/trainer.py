@@ -27,9 +27,8 @@ from jspsr_tpu.data.loader import DataLoader, build_batch_inputs
 from jspsr_tpu.data.transforms import build_transforms
 from jspsr_tpu.eval.loop import eval_model
 from jspsr_tpu.losses import build_criterion
-from jspsr_tpu.metrics.meters import PerformanceMeter  # noqa: F401 (re-export)
 from jspsr_tpu.models.factory import build_model
-from jspsr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from jspsr_tpu.parallel.mesh import make_mesh, shard_batch
 from jspsr_tpu.train.checkpoint import (
     load_checkpoint,
     load_params_filtered,
