@@ -1,0 +1,60 @@
+"""r3 protocol end-to-end: 334x334 scenes -> 9 overlapping 128 tiles ->
+train 1 epoch -> eval -> tiled offline summary with mosaic merge."""
+
+import numpy as np
+import pytest
+import yaml
+
+from jspsr_tpu.data.synthetic import generate_mini_dfc30
+from jspsr_tpu.cli.main import main
+
+
+def test_r3_tiled_cli_end_to_end(tmp_path):
+    data_root = tmp_path / "datasets"
+    root, train, valid = generate_mini_dfc30(
+        data_root / "DFC30_3m", train_cities=("Brest",),
+        valid_cities=("Vannes",), n_per_city=1, size=334, resolution=3)
+    cfg = {
+        "name": "r3_smoke", "verbose": False, "dataset": "DFC30",
+        "data_root": str(data_root),
+        "train_set": train, "valid_set": valid,
+        "input_data": {"COP30": 1, "image": 3},
+        "resolution": 3, "workers": 2, "relative": True, "augment": True,
+        "patch_size": 128, "crop_mode": "tile",
+        "tensor_kwargs": {"log": True, "min": -80, "max": 933,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"weight_decay": 1e-6, "momentum": 0.9,
+                             "lr": 1e-3},
+        "scheduler": "WarmupStepLR",
+        "scheduler_kwargs": {"max_lr": 1e-3, "step_size": 100, "gamma": 0.5,
+                             "warmup_epoch": 1},
+        "train_batch_size": 3, "epochs": 1, "resume": False,
+        "early_stop": {"patience": None, "monitor": "val_rmse"},
+        "valid_batch_size": 1, "val_interval": 1, "val_start_epoch": 1,
+        "metric": {"PSNR": {"package": "piq"},
+                   "RMSE": {"package": "local"}},
+        "best_metric": "RMSE", "val_border": 0.05,
+    }
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = main(["--config", str(cfg_path),
+                "--result-dir", str(tmp_path / "run")])
+    assert np.isfinite(out["result"]["RMSE"])
+
+    # validate-only with prediction dump + mosaic summarise
+    cfg["model_kwargs"]["checkpoint"] = out["checkpoint"]
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    res = main(["--config", str(cfg_path), "--val",
+                "--result-dir", str(tmp_path / "val")])
+    assert np.isfinite(res["RMSE"])
+    # 9 per-tile predictions written, mosaics merged back to full scenes
+    preds = list((tmp_path / "val" / "predictions").glob("*.npy"))
+    assert len(preds) == 9  # 1 valid scene x 9 tiles
+    mosaics = list((tmp_path / "val" / "mosaics").glob("*.npy"))
+    assert len(mosaics) == 1
+    assert (tmp_path / "val" / "summary.json").exists()
