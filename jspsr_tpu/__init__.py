@@ -18,3 +18,24 @@ designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: jspsr_tpu.Trainer / build_model / create_config."""
+    if name == "Trainer":
+        from jspsr_tpu.train.trainer import Trainer
+
+        return Trainer
+    if name == "build_model":
+        from jspsr_tpu.models.factory import build_model
+
+        return build_model
+    if name == "create_config":
+        from jspsr_tpu.config.loader import create_config
+
+        return create_config
+    if name == "import_torch_state_dict":
+        from jspsr_tpu.utils.torch_import import import_torch_state_dict
+
+        return import_torch_state_dict
+    raise AttributeError(name)
