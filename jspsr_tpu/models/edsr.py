@@ -86,7 +86,7 @@ class EDSR(Module):
         else:
             self.head = _conv(n_features, out_channels, 3)
 
-    def __call__(self, params, state, x, train: bool = False):
+    def __call__(self, params, state, x, train: bool = False, rng=None):
         if isinstance(x, (list, tuple)):
             x = jnp.concatenate(list(x), axis=-1)
         ns = {}

@@ -158,8 +158,10 @@ class JSPSR(Module):
             keys.append(self.aux_key)
         return keys
 
-    def __call__(self, params, state, inputs, train: bool = False):
-        """inputs: list/tuple of NHWC arrays in input_keys() order."""
+    def __call__(self, params, state, inputs, train: bool = False,
+                 rng=None):
+        """inputs: list/tuple of NHWC arrays in input_keys() order.
+        rng accepted for interface uniformity (no stochastic layers)."""
         ns = {}
 
         def run(name, *args):

@@ -19,17 +19,27 @@ from jspsr_tpu.train.state import TrainState, deep_merge
 
 
 def make_train_step(model, criterion, optimizer, donate: bool = True,
-                    remat: bool = False):
+                    remat: bool = False, rng_seed: int | None = None):
     """Returns train_step(state, inputs, gt) -> (state, loss_dict).
 
     remat=True rematerializes the forward during the backward pass
     (jax.checkpoint): activation memory drops to the forward live set at the
     cost of ~one extra forward — the standard TPU trade of FLOPs (abundant)
-    for HBM (the constraint). Lets the flagship train at 2x the batch."""
+    for HBM (the constraint). Lets the flagship train at 2x the batch.
+
+    rng_seed: when set, a per-step PRNG key (folded with state.step) is
+    passed to the model as ``rng=`` — used by stochastic layers (LRRU
+    stochastic depth, PVT drop-path)."""
+
+    base_key = None if rng_seed is None else jax.random.PRNGKey(rng_seed)
 
     def train_step(state: TrainState, inputs, gt):
+        rng_kw = {}
+        if base_key is not None:
+            rng_kw["rng"] = jax.random.fold_in(base_key, state.step)
+
         def fwd(params, inputs):
-            return model(params, state.bn_state, inputs, train=True)
+            return model(params, state.bn_state, inputs, train=True, **rng_kw)
 
         fwd_fn = jax.checkpoint(fwd) if remat else fwd
 

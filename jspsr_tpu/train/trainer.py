@@ -74,7 +74,8 @@ class Trainer:
 
         self.train_step = make_train_step(self.model, self.criterion,
                                           self.optimizer,
-                                          remat=p.get("remat", False))
+                                          remat=p.get("remat", False),
+                                          rng_seed=self.seed)
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data

@@ -354,3 +354,31 @@ def test_preload_dataset(tmp_path):
     assert len(ds._cache.data) == 6  # 2 samples x 3 modalities preloaded
     s = ds[0]
     assert s["lr_dem"].shape == (32, 32, 1)
+
+
+def test_train_step_with_rng_for_stochastic_models():
+    """rng threading: LRRU stochastic depth gets per-step keys."""
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.models.lrru import LRRU
+
+    model = LRRU({"lr_dem": 1, "image": 3}, bc=4, prob=0.5)
+    params, bn = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    dem = jnp.asarray(rng.uniform(0.3, 0.6, (1, 32, 32, 1)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    gt = jnp.clip(dem + 0.02, 0, 1)
+    criterion = build_criterion({"L1": 1})
+    p = _p()
+    opt = build_optimizer(p, params)
+    state = TrainState(params, bn, opt.init(params), jnp.zeros((), jnp.int32))
+    set_learning_rate(state.opt_state, 1e-3)
+    step = make_train_step(model, criterion, opt, donate=False, rng_seed=0)
+    state, losses = step(state, [dem, img], gt)
+    assert np.isfinite(float(losses["Total"]))
+    # JSPSR ignores rng but accepts it
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    m2 = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8, layers=(1, 1, 1, 1))
+    p2, b2 = m2.init(jax.random.PRNGKey(0))
+    y, _ = m2(p2, b2, [dem, img], train=True, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(y)).all()
