@@ -83,7 +83,8 @@ def eval_model(
         gt = jnp.asarray(gt_np)
         pred, losses = eval_step(params, bn_state, inputs, gt)
         if losses:
-            loss_meter.update(float(losses["Total"]), gt.shape[0])
+            # lazy device scalar — no per-batch host sync
+            loss_meter.update(losses["Total"], gt.shape[0])
         meter.update(pred, gt, meta, base_elev, elev_log)
         if meter_in is not None:
             lr_dem = jnp.asarray(batch["lr_dem"])

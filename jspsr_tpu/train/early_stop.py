@@ -53,23 +53,36 @@ class EarlyStopper:
 
 
 class AverageMeter:
-    """Running average (reference utils/utils.py:40-77)."""
+    """Running average (reference utils/utils.py:40-77).
+
+    Accepts device scalars without forcing a host sync per update (the
+    transfer happens when .avg/.val are read)."""
 
     def __init__(self, name: str = ""):
         self.name = name
         self.reset()
 
     def reset(self):
-        self.val = 0.0
-        self.sum = 0.0
+        self._val = 0.0
+        self._sum = 0.0
         self.count = 0
-        self.avg = 0.0
 
     def update(self, val, n: int = 1):
-        self.val = float(val)
-        self.sum += float(val) * n
+        self._val = val
+        self._sum = self._sum + val * n
         self.count += n
-        self.avg = self.sum / max(self.count, 1)
+
+    @property
+    def val(self):
+        return float(self._val)
+
+    @property
+    def sum(self):
+        return float(self._sum)
+
+    @property
+    def avg(self):
+        return float(self._sum) / max(self.count, 1)
 
 
 def validate_results(best, current, best_metric: str = "RMSE"):
