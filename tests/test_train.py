@@ -382,3 +382,35 @@ def test_train_step_with_rng_for_stochastic_models():
     p2, b2 = m2.init(jax.random.PRNGKey(0))
     y, _ = m2(p2, b2, [dem, img], train=True, rng=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_spatial_sharded_gradients_match():
+    """Backward pass under H-sharding (XLA halo exchange) == replicated."""
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.parallel.mesh import make_2d_mesh, spatial_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(8)
+    criterion = build_criterion({"L1": 1, "L2": 1})
+    mesh = make_2d_mesh(2, 2, jax.devices()[:4])
+
+    @jax.jit
+    def grads(prm, d, i, g):
+        def loss(q):
+            pred, _ = model(q, bn, [d, i], train=True)
+            return criterion(pred, g)["Total"]
+        return jax.grad(loss)(prm)
+
+    sh = spatial_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    g_sh = grads(params, jax.device_put(inputs[0], sh),
+                 jax.device_put(inputs[1], sh), jax.device_put(gt, sh))
+    g_rp = grads(params, jax.device_put(inputs[0], rep),
+                 jax.device_put(inputs[1], rep), jax.device_put(gt, rep))
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g_sh)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g_rp)])
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
+    assert close.mean() > 0.99  # deform floor-flip tolerance (see DP test)
+    assert np.abs(a - b).max() < 1e-3
