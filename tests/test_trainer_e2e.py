@@ -67,3 +67,25 @@ def test_fit_end_to_end(env, tmp_path):
     # metrics jsonl written
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert (tmp_path / "run" / "config.json").exists()
+
+
+def test_resume_training(env, tmp_path):
+    """resume=True restores optimizer state, epoch counter and best result."""
+    import copy
+    from jspsr_tpu.train.checkpoint import save_checkpoint
+
+    p = AttrDict(dict(env))
+    p["epochs"] = 1
+    t1 = Trainer(p, result_dir=tmp_path / "a")
+    out = t1.fit(initial_eval=False)
+    ckpt = out["checkpoint"]
+
+    p2 = AttrDict(dict(env))
+    p2["epochs"] = 2
+    p2["resume"] = True
+    t2 = Trainer(p2, result_dir=tmp_path / "b")
+    t2.load(ckpt, resume=True)
+    assert t2.start_epoch == 1  # continues after the saved epoch
+    assert t2.best_result is not None
+    out2 = t2.fit(initial_eval=False)
+    assert np.isfinite(out2["result"]["RMSE"])
