@@ -33,23 +33,31 @@ def _cpu_baseline():
 
 
 def measure(batch, iters=20, warmup=3):
+    """Chained measurement: each iteration's DEM input depends on the
+    previous prediction, and the final sync is a scalar fetch. This defeats
+    runtimes whose block_until_ready does not actually wait for device
+    completion (observed through the axon tunnel), so the number is a true
+    sequential-execution throughput."""
     import jax
+    import jax.numpy as jnp
     import __graft_entry__ as g
 
     model, params, bn_state = g._flagship()
-    args = g._example_inputs(batch, 128, 128)
+    dem, img, msk = g._example_inputs(batch, 128, 128)
 
-    def fn(dem, img, msk):
-        pred, _ = model(params, bn_state, [dem, img, msk], train=False)
+    def fn(d, i, m):
+        pred, _ = model(params, bn_state, [d, i, m], train=False)
         return pred
 
     jfn = jax.jit(fn)
+    d = dem
     for _ in range(warmup):
-        jfn(*args).block_until_ready()
+        d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
+    float(d[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfn(*args)
-    out.block_until_ready()
+        d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
+    float(d[0, 0, 0, 0])  # true device sync
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

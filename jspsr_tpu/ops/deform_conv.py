@@ -159,7 +159,7 @@ def deform_im2col_mxu(
     of DCNv2 (a corner contributes iff it is in bounds).
 
     Cost: K dense (bh*W*K, H) x (H, W*C) matmuls — FLOP-heavy but
-    MXU-saturating; ~50x faster than the gather lowering on TPU v5e.
+    MXU-saturating; ~28x faster than the gather lowering on TPU v5e.
     """
     kh, kw = _pair(kernel_size)
     k = kh * kw
