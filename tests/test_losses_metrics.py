@@ -201,3 +201,26 @@ def test_to_image_to_dem_helpers():
     assert img.max() == 255 and img.min() == 0
     dem = ToDEM(-80, 929, elev_log=True)(x)
     np.testing.assert_allclose(dem[0, 0], -80 + 1, atol=1e-3)  # exp(0)+min
+
+
+def test_ssim_invariants():
+    from jspsr_tpu.ops.filters import ssim
+    from jspsr_tpu.metrics.meters import MeterSSIM
+
+    rng = np.random.default_rng(30)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32))
+    # identical images -> 1
+    np.testing.assert_allclose(float(ssim(x, x)), 1.0, atol=1e-5)
+    # symmetric
+    y = jnp.clip(x + 0.1 * jnp.asarray(
+        rng.normal(size=x.shape).astype(np.float32)), 0, 1)
+    np.testing.assert_allclose(float(ssim(x, y)), float(ssim(y, x)), rtol=1e-5)
+    # more noise -> lower ssim
+    z = jnp.clip(x + 0.4 * jnp.asarray(
+        rng.normal(size=x.shape).astype(np.float32)), 0, 1)
+    assert float(ssim(x, z)) < float(ssim(x, y)) < 1.0
+    # meter wiring (piq-style valid padding and local same padding)
+    for package in ("piq", "local"):
+        m = MeterSSIM(package=package, border=0.0, min=0, max=1)
+        m.update(x, x)
+        np.testing.assert_allclose(m.get_score(), 1.0, atol=1e-5)
