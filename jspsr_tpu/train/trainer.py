@@ -109,7 +109,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def load(self, path, resume: bool = False):
         """Load checkpoint; resume=True also restores opt state/epoch
-        (reference utils/utils.py:373-407)."""
+        (reference utils/utils.py:373-407). Accepts this framework's .npz
+        checkpoints AND reference PyTorch .pt/.pth files (imported through
+        the torch-weight mapper; optimizer state is not portable)."""
+        if str(path).endswith((".pt", ".pth")):
+            from jspsr_tpu.utils.torch_import import (
+                import_torch_state_dict, load_torch_checkpoint,
+            )
+
+            sd, meta = load_torch_checkpoint(path)
+            params, bn_state = import_torch_state_dict(self.model, sd)
+            self.state = TrainState(params, bn_state, self.state.opt_state,
+                                    self.state.step)
+            if resume and meta.get("epoch") is not None:
+                self.start_epoch = meta["epoch"] + 1
+                self.best_result = meta.get("best_result")
+            if self.verbose:
+                print(f"Imported torch checkpoint {path} "
+                      f"(epoch {meta.get('epoch')})")
+            return
         ck = load_checkpoint(path, self.state.opt_state if resume else None)
         params = load_params_filtered(self.state.params, ck["params"])
         bn_state = ck["bn_state"] or self.state.bn_state

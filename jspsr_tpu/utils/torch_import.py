@@ -186,6 +186,19 @@ def pair_state_dict(module, foreign_state_dict):
     return dict(zip(expected, values))
 
 
+def load_torch_checkpoint(path):
+    """Load a reference-format .pt/.pth checkpoint file (reference saves
+    {'optimizer','state_dict','scheduler','epoch','best_result'},
+    main.py:244-255) and return (state_dict, meta). Requires torch."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        meta = {k: blob.get(k) for k in ("epoch", "best_result")}
+        return blob["state_dict"], meta
+    return blob, {}
+
+
 def import_torch_state_dict(module, state_dict, strict: bool = True):
     """Returns (params, state) pytrees for ``module`` from a torch state_dict."""
     col = _Collector(state_dict)

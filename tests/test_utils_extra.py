@@ -109,3 +109,52 @@ def test_gen_crop_subset(tmp_path):
     np.testing.assert_array_equal(tile, big[32:, 32:])
     assert prof["transform"][2] == 1000.0 + 8.0 * 32  # shifted origin
     assert prof["transform"][5] == 2000.0 - 8.0 * 32
+
+
+def test_trainer_loads_reference_pt_checkpoint(tmp_path):
+    """Reference users' .pt files load directly into the Trainer."""
+    from tests.reference_oracle import ref_jspsr
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+    from jspsr_tpu.train.trainer import Trainer
+
+    torch.manual_seed(3)
+    tmodel = ref_jspsr(in_channels={"lr_dem": 1, "image": 3},
+                       out_channels=1, num_feature=8, layers=(1, 1, 1, 1),
+                       spn=True)
+    ckpt = {"state_dict": tmodel.state_dict(), "optimizer": None,
+            "scheduler": None, "epoch": 42, "best_result": {"RMSE": 1.5}}
+    pt_path = tmp_path / "ref.pt"
+    torch.save(ckpt, pt_path)
+
+    root, train, valid = generate_mini_dfc30(
+        tmp_path / "d", train_cities=("Brest",), valid_cities=("Vannes",),
+        n_per_city=2, size=32)
+    p = AttrDict({
+        "name": "pt_load", "dataset": "DFC30", "dataset_path": str(root),
+        "resolution": 8, "train_set": train, "valid_set": valid,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": False, "patch_size": 32,
+        "crop_mode": "tile", "patches_per_image": 1, "workers": 1,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8, "spn": True,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1}, "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 0, "momentum": 0.9},
+        "scheduler": "ConstantLR", "scheduler_kwargs": {},
+        "train_batch_size": 2, "epochs": 1,
+        "metric": {"RMSE": {"package": "local", "border": 0.0,
+                            "min": -80, "max": 929}},
+        "best_metric": "RMSE", "verbose": False, "seed": 0,
+    })
+    trainer = Trainer(p, result_dir=tmp_path / "run")
+    trainer.load(pt_path, resume=True)
+    assert trainer.start_epoch == 43
+    assert trainer.best_result == {"RMSE": 1.5}
+    res = trainer.evaluate()
+    assert np.isfinite(res["RMSE"])
+    # imported params actually match the torch model's
+    w_t = tmodel.conv_dem.conv[0].weight.detach().numpy()
+    w_j = np.asarray(trainer.state.params["conv_dem"]["conv"]["w"])
+    np.testing.assert_allclose(w_j.transpose(3, 2, 0, 1), w_t, rtol=1e-6)
