@@ -19,7 +19,8 @@ from jspsr_tpu.train.state import TrainState, deep_merge
 
 
 def make_train_step(model, criterion, optimizer, donate: bool = True,
-                    remat: bool = False, rng_seed: int | None = None):
+                    remat: bool = False, rng_seed: int | None = None,
+                    monitor: bool = False):
     """Returns train_step(state, inputs, gt) -> (state, loss_dict).
 
     remat=True rematerializes the forward during the backward pass
@@ -46,11 +47,26 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
         def loss_fn(params):
             pred, bn_updates = fwd_fn(params, inputs)
             losses = criterion(pred, gt)
-            return losses["Total"], (losses, bn_updates)
+            return losses["Total"], (losses, bn_updates, pred)
 
-        (_, (losses, bn_updates)), grads = jax.value_and_grad(
+        (_, (losses, bn_updates, pred)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if monitor:
+            # reference tqdm-postfix monitors (train_utils.py:241-267):
+            # grad/input/pred value ranges, computed on device
+            import jax.numpy as jnp
+
+            gleaves = jax.tree_util.tree_leaves(grads)
+            losses = dict(losses)
+            losses["grad_min"] = jnp.min(
+                jnp.stack([jnp.min(g) for g in gleaves]))
+            losses["grad_max"] = jnp.max(
+                jnp.stack([jnp.max(g) for g in gleaves]))
+            losses["input_min"] = jnp.min(inputs[0])
+            losses["input_max"] = jnp.max(inputs[0])
+            losses["pred_min"] = jnp.min(pred)
+            losses["pred_max"] = jnp.max(pred)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         bn_state = deep_merge(state.bn_state, bn_updates)

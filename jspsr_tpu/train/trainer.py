@@ -75,7 +75,8 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.criterion,
                                           self.optimizer,
                                           remat=p.get("remat", False),
-                                          rng_seed=self.seed)
+                                          rng_seed=self.seed,
+                                          monitor=bool(p.get("monitor_value")))
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data
@@ -172,8 +173,14 @@ class Trainer:
         dt = time.perf_counter() - t0
         self.last_throughput = n_samples / max(dt, 1e-9)  # tiles/sec
         if self.verbose:
+            extra = ""
+            if losses is not None and "grad_max" in losses:
+                extra = (f" grad[{float(losses['grad_min']):.4f},"
+                         f"{float(losses['grad_max']):.4f}]"
+                         f" pred[{float(losses['pred_min']):.4f},"
+                         f"{float(losses['pred_max']):.4f}]")
             print(f"E{epoch:03d} loss {loss_meter.avg:.4e} lr {lr:.2e} "
-                  f"({self.last_throughput:.1f} samples/s)")
+                  f"({self.last_throughput:.1f} samples/s){extra}")
         return loss_meter.avg, lr
 
     def evaluate(self, compare_input: bool = False, save_dir=None,

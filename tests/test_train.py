@@ -414,3 +414,20 @@ def test_spatial_sharded_gradients_match():
     close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
     assert close.mean() > 0.99  # deform floor-flip tolerance (see DP test)
     assert np.abs(a - b).max() < 1e-3
+
+
+def test_monitor_ranges_in_train_step():
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(9)
+    p = _p()
+    criterion = build_criterion({"L1": 1})
+    opt = build_optimizer(p, params)
+    state = TrainState(params, bn, opt.init(params), jnp.zeros((), jnp.int32))
+    set_learning_rate(state.opt_state, 1e-3)
+    step = make_train_step(model, criterion, opt, donate=False, monitor=True)
+    state, losses = step(state, inputs, gt)
+    for k in ("grad_min", "grad_max", "input_min", "input_max",
+              "pred_min", "pred_max"):
+        assert k in losses and np.isfinite(float(losses[k]))
+    assert float(losses["grad_min"]) <= float(losses["grad_max"])
