@@ -63,8 +63,12 @@ def measure(batch, iters=20, warmup=3):
 
 
 def main():
+    # batch 64 is the measured sweet spot (PERF.md); TPU compiles through the
+    # tunnel are uncached across processes, so probe extra sizes only with
+    # --sweep
+    batches = (16, 32, 64) if "--sweep" in sys.argv else (64,)
     best_tps, best_batch = 0.0, 0
-    for batch in (16, 32, 64):
+    for batch in batches:
         try:
             tps = measure(batch)
         except Exception as e:  # OOM guard at large batch
@@ -73,6 +77,14 @@ def main():
         print(f"# batch {batch}: {tps:.1f} tiles/s", file=sys.stderr)
         if tps > best_tps:
             best_tps, best_batch = tps, batch
+    if best_batch == 0 and 16 not in batches:
+        # fallback to a small batch if 64 failed (tighter-memory chip)
+        try:
+            best_tps, best_batch = measure(16), 16
+            print(f"# batch 16 (fallback): {best_tps:.1f} tiles/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# fallback failed: {e}", file=sys.stderr)
     try:
         cpu_tps = _cpu_baseline()
         vs = best_tps / (10.0 * cpu_tps)
