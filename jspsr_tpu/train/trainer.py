@@ -65,6 +65,11 @@ class Trainer:
         # model + functional state
         self.model = build_model(p)
         params, bn_state = self.model.init(jax.random.PRNGKey(self.seed))
+        if self.verbose:
+            from jspsr_tpu.utils.summary import count_parameters
+
+            print(f"Model {p.model_name}: {count_parameters(params):,} "
+                  f"parameters")
         self.criterion = build_criterion(dict(p.loss))
         self.optimizer = build_optimizer(p, params)
         opt_state = self.optimizer.init(params)
