@@ -1,11 +1,18 @@
-"""Throughput benchmark: DEM tiles/sec/chip on the flagship JSPSR forward.
+"""Throughput benchmark: DEM tiles/sec/chip on the flagship JSPSR.
 
 Protocol (BASELINE.json): 128x128 DEM tiles at x8 SR with image+mask
-guidance, eval-mode forward, single chip. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": R}
-where vs_baseline = value / (10 * CPU-reference tiles/sec) — >= 1.0 means
-the >=10x-CPU north star is met. The CPU reference (same network, host CPU)
-is cached in BASELINE_CPU.json (scripts/measure_cpu_baseline.py).
+guidance, single chip. Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": R,
+   "train_step_tiles_per_sec": T, ...}
+
+- value: eval-mode forward throughput (the headline).
+- vs_baseline = value / (10 * torch-reference-CPU tiles/sec): the honest
+  denominator is the ACTUAL PyTorch reference forward on host CPU
+  (scripts/measure_cpu_baseline.py; cached in BASELINE_CPU.json).
+  >= 1.0 means the >=10x-CPU north star is met.
+- train_step_tiles_per_sec: full fwd+bwd+AdamW update throughput at the
+  best measured config (scripts/bench_train_probe.py sweep).
 """
 
 import json
@@ -27,9 +34,11 @@ def _cpu_baseline():
         subprocess.run(
             [sys.executable, str(ROOT / "scripts" / "measure_cpu_baseline.py")],
             check=True,
-            timeout=1200,
+            timeout=1800,
         )
-    return json.loads(path.read_text())["cpu_tiles_per_sec"]
+    blob = json.loads(path.read_text())
+    # torch reference CPU when measured; legacy JAX-CPU number as fallback
+    return blob.get("torch_cpu_tiles_per_sec") or blob["cpu_tiles_per_sec"]
 
 
 def measure(batch, iters=20, warmup=3):
@@ -62,6 +71,21 @@ def measure(batch, iters=20, warmup=3):
     return batch * iters / dt
 
 
+def measure_train(batch, remat_stages, iters=10, warmup=2):
+    """Full train step (fwd+bwd+AdamW+BN merge), chained through TrainState."""
+    from scripts.bench_train_probe import build
+
+    step, state, inputs, gt = build(batch, remat_stages=remat_stages)
+    for _ in range(warmup):
+        state, losses = step(state, inputs, gt)
+    float(losses["Total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, inputs, gt)
+    float(losses["Total"])  # chained sync
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     # batch 64 is the measured sweet spot (PERF.md); TPU compiles through the
     # tunnel are uncached across processes, so probe extra sizes only with
@@ -85,6 +109,19 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# fallback failed: {e}", file=sys.stderr)
+
+    # train-step throughput at the best probed config (PERF.md sweep)
+    train_tps, train_cfg = None, None
+    for batch, stages in ((32, True), (16, False)):
+        try:
+            train_tps = measure_train(batch, stages)
+            train_cfg = {"batch": batch, "remat_stages": stages}
+            print(f"# train b{batch} stages={stages}: {train_tps:.1f} t/s",
+                  file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"# train b{batch} failed: {e}", file=sys.stderr)
+
     try:
         cpu_tps = _cpu_baseline()
         vs = best_tps / (10.0 * cpu_tps)
@@ -97,6 +134,9 @@ def main():
         "unit": "tiles/sec/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "batch": best_batch,
+        "train_step_tiles_per_sec": (round(train_tps, 1)
+                                     if train_tps else None),
+        "train_config": train_cfg,
     }))
 
 

@@ -18,6 +18,7 @@ from jspsr_tpu.data.loader import build_batch_inputs
 from jspsr_tpu.data.normalize import descale_data
 from jspsr_tpu.data.raster_io import HAS_RASTERIO, write_raster
 from jspsr_tpu.metrics.meters import PerformanceMeter
+from jspsr_tpu.parallel.mesh import pad_batch_to
 from jspsr_tpu.train.early_stop import AverageMeter
 
 
@@ -74,23 +75,42 @@ def eval_model(
         visual_ids = set(get_visual_id(p.val_num_visual, len(loader.dataset),
                                        p.get("val_id_visual")))
 
+    # Batched-eval fast path: any valid_batch_size works. Meters compute
+    # per-sample reductions (identical averages to the reference's bs=1
+    # protocol), the remainder batch is padded to the compiled batch shape
+    # (one XLA program regardless of dataset size) and padded samples are
+    # dropped via n_valid.
+    batch_cfg = int(p.get("valid_batch_size", 1) or 1)
     sample_idx = 0
     for batch in loader:
         inputs_np, gt_np, base_elev, meta = build_batch_inputs(
             batch, p.model_name, p.input_data
         )
+        n_real = gt_np.shape[0]
+        lr_dem_np = np.asarray(batch["lr_dem"]) if meter_in is not None else None
+        if n_real < batch_cfg:
+            inputs_np, _ = pad_batch_to(list(inputs_np), batch_cfg)
+            gt_np, _ = pad_batch_to(gt_np, batch_cfg)
+            if lr_dem_np is not None:
+                lr_dem_np, _ = pad_batch_to(lr_dem_np, batch_cfg)
         inputs = [jnp.asarray(x) for x in inputs_np]
         gt = jnp.asarray(gt_np)
         pred, losses = eval_step(params, bn_state, inputs, gt)
         if losses:
-            # lazy device scalar — no per-batch host sync
-            loss_meter.update(losses["Total"], gt.shape[0])
-        meter.update(pred, gt, meta, base_elev, elev_log)
+            # per-sample totals: exact under padding AND under
+            # batch-statistic losses (BerHu) — lazy device scalar, no sync
+            per_sample = losses.get("_total_per_sample")
+            if per_sample is not None:
+                loss_meter.update(jnp.mean(per_sample[:n_real]), n_real)
+            else:  # custom eval_step without per-sample support
+                loss_meter.update(losses["Total"], n_real)
+        meter.update(pred, gt, meta, base_elev, elev_log, n_valid=n_real)
         if meter_in is not None:
-            lr_dem = jnp.asarray(batch["lr_dem"])
+            lr_dem = jnp.asarray(lr_dem_np)
             if lr_dem.shape[1:3] != gt.shape[1:3]:
                 lr_dem = nn.bicubic_resize(lr_dem, gt.shape[1], gt.shape[2])
-            meter_in.update(lr_dem, gt, meta, base_elev, elev_log)
+            meter_in.update(lr_dem, gt, meta, base_elev, elev_log,
+                            n_valid=n_real)
         if save_dir is not None:
             for i, m in enumerate(meta):
                 save_prediction(

@@ -8,12 +8,16 @@ Semantics preserved exactly:
   METERS (log-minmax aware) before computing (metrics.py:372-373 etc.);
 - Median is torch's lower-median; LE95 uses k = 1 + round(0.95*(n-1))
   (1-based kth smallest of |dh|);
-- PSNR 'piq' convention: -10*log10(mse) on the normalized [0,1] tensors
-  (greyscale conversion is the identity for 1-channel DEMs);
-- Slope 'local': 2x-scaled sobel magnitude, valid padding (metrics.py:116-139).
+- every ``package:`` value the reference accepts is implemented:
+  PSNR piq/skimage/local (+ psnr_type 'y'), SSIM piq/skimage/local,
+  Slope local/kornia/richdem — see each meter for the convention and for
+  documented reference bugs that are fixed rather than reproduced.
 
-Each meter jit-compiles one small reduction; shapes are constant per split so
-compilation is amortized. Meters accumulate python floats across update().
+Batched-eval design: every meter computes PER-SAMPLE values (a (B,) vector)
+and accumulates sum + count, so metric averages are identical whether the
+eval loop runs bs=1 (the reference protocol) or batched (the TPU fast path)
+— each sample contributes its own reduction either way. Accumulation stays
+on device (lazy); the single host transfer happens in get_score().
 """
 
 from __future__ import annotations
@@ -25,7 +29,14 @@ import jax
 import jax.numpy as jnp
 
 from jspsr_tpu.data.normalize import descale_data
-from jspsr_tpu.ops.filters import sobel_magnitude, ssim as ssim_fn
+from jspsr_tpu.ops.filters import (
+    horn_slope,
+    reference_exp_window,
+    sobel_magnitude,
+    spatial_gradient,
+    ssim as ssim_fn,
+    ssim_skimage_rows,
+)
 
 
 def crop_border(x, border: float):
@@ -53,12 +64,55 @@ def torch_median(x):
     return flat[(flat.size - 1) // 2]
 
 
+def _per_sample_median(x):
+    """torch.median per sample: x (B, ...) -> (B,) lower-median."""
+    flat = jnp.sort(x.reshape(x.shape[0], -1), axis=-1)
+    return flat[:, (flat.shape[1] - 1) // 2]
+
+
+def _luma_piq(x):
+    """piq's convert_to_greyscale: plain BT.601 luma [0.299, 0.587, 0.114],
+    applied only to 3-channel inputs (piq checks size(1)==3; identity for
+    1-channel DEMs)."""
+    if x.shape[-1] != 3:
+        return x
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def _luma_matlab(x):
+    """MATLAB-convention BT.601 Y channel rescaled to [0, 1]
+    (rgb2ycbcr y_only / 255). Identity for non-3-channel inputs.
+
+    NOTE: the reference's skimage/local psnr_type='y' paths are broken — they
+    call the RGB2YCbCr *transform class* on a tensor (metrics.py:238-248),
+    which raises; and its rgb2ycbcr returns the [16, 235] range without
+    rescaling. We implement the evident intent: Matlab luma scaled back to
+    [0, 1], applied to BOTH pred and gt (the reference's skimage branch also
+    only converted gt — metrics.py:237-239)."""
+    if x.shape[-1] != 3:
+        return x
+    w = jnp.asarray([65.481, 128.553, 24.966], x.dtype)
+    return (jnp.sum(x * w, axis=-1, keepdims=True) + 16.0) / 255.0
+
+
 class MeterBase:
     name = "base"
+    # packages this meter branches on; None = package is informational only
+    # (RMSE/Median/NMAD/LE95 ignore it, as the reference does)
+    packages = None
 
     def __init__(self, package: str = "local", tensor_range: str = "[0, 1]",
                  border: float = 0.0, min: float = 0.0, max: float = 1.0,
                  verbose: bool = False, **_):
+        if self.packages is not None and package.lower() not in self.packages:
+            # fail fast like the reference's `else: raise NotImplementedError`
+            # (metrics.py:250-251,316-317,670-671) instead of silently
+            # falling back to a default convention
+            raise NotImplementedError(
+                f"{self.name} package '{package}' not implemented "
+                f"(available: {', '.join(self.packages)})"
+            )
         self.package = package
         self.tensor_range = tensor_range
         self.border = border
@@ -72,13 +126,18 @@ class MeterBase:
         self.total = 0.0
         self.total_n = 0
 
-    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False):
+    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False,
+               n_valid=None):
         # accumulate lazily on device: a float() here would synchronize the
         # dispatch pipeline per sample (~150 ms RTT through a TPU tunnel);
-        # one transfer happens in get_score() instead.
-        v = self._compute(pred, gt, elev_log)
-        self.total = self.total + v
-        self.total_n += 1
+        # one transfer happens in get_score() instead. n_valid drops padded
+        # trailing samples of a remainder batch (batched-eval fast path) —
+        # the slice happens outside the jitted _compute, so no recompile.
+        v = self._compute(pred, gt, elev_log)  # (B,) per-sample values
+        if n_valid is not None and n_valid < v.shape[0]:
+            v = v[:n_valid]
+        self.total = self.total + jnp.sum(v)
+        self.total_n += int(v.shape[0])
 
     def get_score(self):
         score = float(self.total) / max(self.total_n, 1)
@@ -86,7 +145,7 @@ class MeterBase:
             print(f"{self.package[:3]} {self.name} {1 - self.border}\t{score:5.4f}")
         return score
 
-    # subclasses implement _compute(pred, gt, elev_log) -> scalar
+    # subclasses implement _compute(pred, gt, elev_log) -> (B,) values
     def _descale(self, pred, gt, elev_log):
         pred, gt = _prepare(pred, gt, self.border, self.tensor_range)
         pred = descale_data(pred, self.value_min, self.value_max, elev_log)
@@ -95,23 +154,66 @@ class MeterBase:
 
 
 class MeterPSNR(MeterBase):
+    """PSNR on the normalized [0,1] tensors.
+
+    packages (reference metrics.py:225-251):
+    - 'piq':     -10*log10(mse) per sample (piq.psnr, reduction='mean' at
+                 bs=1 == per-sample); psnr_type='y' applies piq's greyscale
+                 luma to 3-channel inputs.
+    - 'skimage': 10*log10(data_range^2/mse) — identical formula, kept as a
+                 distinct package for config surface parity.
+    - 'local':   20*log10(1/rmse) with the mse==0 -> 100 convention
+                 (metrics.py:97-112).
+    psnr_type='y' on skimage/local uses the Matlab luma (see _luma_matlab for
+    why this diverges from the reference's crashing code path)."""
+
     name = "PSNR"
+    packages = ("piq", "skimage", "local")
+
+    def __init__(self, psnr_type: str = "rgb", **kw):
+        super().__init__(**kw)
+        self.psnr_type = psnr_type
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = _prepare(pred, gt, self.border, self.tensor_range)
-        mse = jnp.mean(jnp.square(gt - pred))
-        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        if self.psnr_type == "y":
+            luma = _luma_piq if self.package == "piq" else _luma_matlab
+            pred, gt = luma(pred), luma(gt)
+        mse = jnp.mean(jnp.square(gt - pred), axis=(1, 2, 3))
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        if self.package == "local":
+            psnr = jnp.where(mse == 0, 100.0, psnr)
+        return psnr
 
 
 class MeterSSIM(MeterBase):
+    """SSIM on the normalized [0,1] tensors.
+
+    packages (reference metrics.py:296-317):
+    - 'piq':     gaussian 11x11 sigma 1.5, VALID window (the reference calls
+                 piq.ssim(..., downsample=False) explicitly, so no
+                 downsampling pre-filter is involved).
+    - 'skimage': the reference's degenerate channel_axis=0 call — per-row 1-D
+                 uniform-filter SSIM (see ops.filters.ssim_skimage_rows).
+    - 'local':   zero-padded 'same' conv with the reference's buggy
+                 exponential window (metrics.py:20-27), reproduced exactly."""
+
     name = "SSIM"
+    packages = ("piq", "skimage", "local")
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = _prepare(pred, gt, self.border, self.tensor_range)
-        pad = "same" if self.package == "local" else "valid"
-        return ssim_fn(pred, gt, data_range=1.0, padding=pad)
+        if self.package == "skimage":
+            return ssim_skimage_rows(pred, gt, data_range=1.0,
+                                     per_sample=True)
+        if self.package == "local":
+            return ssim_fn(pred, gt, data_range=1.0, padding="same",
+                           window=reference_exp_window(11, 1.5),
+                           per_sample=True)
+        return ssim_fn(pred, gt, data_range=1.0, padding="valid",
+                       per_sample=True)
 
 
 class MeterRMSE(MeterBase):
@@ -132,20 +234,27 @@ class MeterRMSE(MeterBase):
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = self._descale(pred, gt, elev_log)
-        return jnp.sqrt(jnp.mean(jnp.square(pred - gt)))
+        return jnp.sqrt(jnp.mean(jnp.square(pred - gt), axis=(1, 2, 3)))
 
-    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False):
-        v = self._compute(pred, gt, elev_log)  # device scalar, lazy
-        self.total = self.total + v
-        self.total_n += 1
+    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False,
+               n_valid=None):
+        v = self._compute(pred, gt, elev_log)  # (B,) device values, lazy
+        if n_valid is not None and n_valid < v.shape[0]:
+            v = v[:n_valid]
+        self.total = self.total + jnp.sum(v)
+        self.total_n += int(v.shape[0])
         self.sample_rmse.append(v)
-        self.sample_id.append(_short_id(meta))
+        self.sample_id.extend(_sample_ids(meta, int(v.shape[0])))
 
     def get_score(self):
         score = float(self.total) / max(self.total_n, 1)
         if self.verbose and self.total_n > 3:
-            values = [float(v) for v in jax.device_get(self.sample_rmse)]
-            worst = sorted(zip(values, self.sample_id), reverse=True)[:3]
+            values = np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in
+                 jax.device_get(self.sample_rmse)]
+            )
+            worst = sorted(zip(values.tolist(), self.sample_id),
+                           reverse=True)[:3]
             worst_s = ", ".join(f"{i} {v:.2f}" for v, i in worst)
             print(f"{self.package[:3]} {self.name} {1 - self.border}\t"
                   f"{score:5.4f}, {worst_s}")
@@ -158,7 +267,7 @@ class MeterMedian(MeterBase):
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = self._descale(pred, gt, elev_log)
-        return torch_median(pred - gt)
+        return _per_sample_median(pred - gt)
 
 
 class MeterNMAD(MeterBase):
@@ -168,8 +277,9 @@ class MeterNMAD(MeterBase):
     def _compute(self, pred, gt, elev_log):
         pred, gt = self._descale(pred, gt, elev_log)
         dh = pred - gt
-        mdh = torch_median(dh)
-        return 1.4826 * torch_median(jnp.abs(dh - mdh))
+        mdh = _per_sample_median(dh)
+        return 1.4826 * _per_sample_median(
+            jnp.abs(dh - mdh.reshape(-1, 1, 1, 1)))
 
 
 class MeterLE95(MeterBase):
@@ -178,32 +288,71 @@ class MeterLE95(MeterBase):
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = self._descale(pred, gt, elev_log)
-        dh = jnp.abs(pred - gt).reshape(-1)
-        k = 1 + round(0.95 * (dh.size - 1))  # 1-based kth smallest
-        return jnp.sort(dh)[k - 1]
+        dh = jnp.abs(pred - gt).reshape(pred.shape[0], -1)
+        k = 1 + round(0.95 * (dh.shape[1] - 1))  # 1-based kth smallest
+        return jnp.sort(dh, axis=-1)[:, k - 1]
 
 
 class MeterSlope(MeterBase):
+    """Slope-difference RMSE in meters-domain.
+
+    packages (reference metrics.py:642-671; the reference itself notes the
+    three methods produce different numbers, :593-594):
+    - 'local':   2x-scaled sobel magnitude, valid padding (Sobel module,
+                 metrics.py:116-139);
+    - 'kornia':  kornia spatial_gradient (normalized sobel, replicate pad),
+                 RMSE over the stacked (gx, gy) field;
+    - 'richdem': Horn slope_riserun with the reference's odd geotransform —
+                 np2rdarray passes cell sizes (H, W) from the ARRAY SHAPE
+                 (metrics.py:620-636), so cell_x = H and cell_y = W."""
+
     name = "Slop"
+    packages = ("local", "kornia", "richdem")
 
     @partial(jax.jit, static_argnums=(0, 3))
     def _compute(self, pred, gt, elev_log):
         pred, gt = self._descale(pred, gt, elev_log)
-        ps = sobel_magnitude(pred)
-        gs = sobel_magnitude(gt)
-        return jnp.sqrt(jnp.mean(jnp.square(ps - gs)))
+        if self.package.lower() == "kornia":
+            pgx, pgy = spatial_gradient(pred)
+            ggx, ggy = spatial_gradient(gt)
+            # RMSE over the stacked (gx, gy) field == mean of both squares
+            d2 = jnp.square(pgx - ggx) + jnp.square(pgy - ggy)
+            return jnp.sqrt(jnp.mean(d2, axis=(1, 2, 3)) / 2.0)
+        if self.package.lower() == "richdem":
+            h, w = pred.shape[1:3]
+            ps = horn_slope(pred, float(h), float(w))
+            gs = horn_slope(gt, float(h), float(w))
+        else:  # 'local'
+            ps = sobel_magnitude(pred)
+            gs = sobel_magnitude(gt)
+        return jnp.sqrt(jnp.mean(jnp.square(ps - gs), axis=(1, 2, 3)))
 
 
-def _short_id(meta):
-    """Worst-sample id string (reference metrics.py:363-367); bs=1 eval."""
-    if not meta:
-        return "?"
-    m = meta[0] if isinstance(meta, (list, tuple)) else meta
+def _short_id(m) -> str:
+    """Worst-sample id string (reference metrics.py:363-367). The reference
+    hard-assumes the DFC30 ``a-b-c-d`` id format; other formats fall back to
+    the raw id rather than silently mangling it."""
+    if not isinstance(m, dict):
+        return str(m) if m else "?"
     subset = str(m.get("subset", "?")).split("_")[0]
     subset = subset if len(subset) < 6 else subset[:7]
-    parts = str(m.get("id", "?")).split("-")
-    sid = "-".join(parts[2:4]) if len(parts) >= 4 else m.get("id", "?")
+    raw = str(m.get("id", "?"))
+    parts = raw.split("-")
+    sid = "-".join(parts[2:4]) if len(parts) >= 4 else raw
     return f"{subset}_{sid}"
+
+
+def _sample_ids(meta, n: int):
+    """Per-sample ids for a batch: meta is the collated list of per-sample
+    meta dicts (or a single dict at bs=1)."""
+    if meta is None:
+        return ["?"] * n
+    if isinstance(meta, dict):
+        return [_short_id(meta)] * n
+    ids = [_short_id(m) for m in meta]
+    if len(ids) < n:  # defensive: pad rather than misalign
+        ids += ["?"] * (n - len(ids))
+    return ids[:n]
 
 
 _METERS = {
@@ -235,9 +384,10 @@ class PerformanceMeter:
         for m in self.meters.values():
             m.reset()
 
-    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False):
+    def update(self, pred, gt, meta=None, base_elev=0, elev_log=False,
+               n_valid=None):
         for m in self.meters.values():
-            m.update(pred, gt, meta, base_elev, elev_log)
+            m.update(pred, gt, meta, base_elev, elev_log, n_valid=n_valid)
 
     def get_score(self, verbose: bool = False):
         return {name: m.get_score() for name, m in self.meters.items()}

@@ -73,6 +73,10 @@ class EDSR(Module):
     ):
         super().__init__()
         self.name = "EDSR"
+        # default public-checkpoint path for model_kwargs.pretrained=True
+        # (reference models/EDSR.py:87; loaded positionally since the public
+        # EDSR repo uses different module names — utils/pretrained.py)
+        self.url = "./models/pretrained/EDSR-b32f128x2.bin"
         self.res_scale = res_scale
         self.spn = spn
         self.entry = _conv(in_channels, n_features, 3)

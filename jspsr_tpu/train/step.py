@@ -77,12 +77,23 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
 
 
 def make_eval_step(model, criterion=None):
-    """Returns eval_step(params, bn_state, inputs, gt) -> (pred, loss_dict)."""
+    """Returns eval_step(params, bn_state, inputs, gt) -> (pred, loss_dict).
+
+    loss_dict carries an extra ``_total_per_sample`` (B,) entry: the
+    criterion evaluated per sample (vmap over the batch). This keeps the
+    batched-eval fast path EXACTLY equal to the reference's bs=1 protocol —
+    including batch-statistic losses like BerHu, whose threshold is computed
+    per sample at bs=1 — and lets the loop drop padded samples from the
+    remainder batch."""
 
     def eval_step(params, bn_state, inputs, gt=None):
         pred, _ = model(params, bn_state, inputs, train=False)
-        losses = criterion(pred, gt) if (criterion is not None and gt is not None) \
-            else {}
+        losses = {}
+        if criterion is not None and gt is not None:
+            losses = dict(criterion(pred, gt))
+            losses["_total_per_sample"] = jax.vmap(
+                lambda pr, g: criterion(pr[None], g[None])["Total"]
+            )(pred, gt)
         return pred, losses
 
     return jax.jit(eval_step)

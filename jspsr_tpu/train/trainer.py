@@ -34,13 +34,21 @@ from jspsr_tpu.train.checkpoint import (
     load_params_filtered,
     save_checkpoint,
 )
-from jspsr_tpu.train.early_stop import AverageMeter, EarlyStopper, do_eval, \
+from jspsr_tpu.train.early_stop import EarlyStopper, do_eval, \
     validate_results
 from jspsr_tpu.train.optim import build_lr_schedule, build_optimizer, \
     set_learning_rate
 from jspsr_tpu.train.state import TrainState
 from jspsr_tpu.train.step import make_eval_step, make_train_step
 from jspsr_tpu.utils.logging import MetricLogger, serialize_config
+
+_MONITOR_PREFIXES = ("grad_", "input_", "pred_")
+
+
+def _is_monitor_key(k: str) -> bool:
+    """Value-range monitor entries (train/step.py monitor=True) are per-step
+    diagnostics, not loss terms — excluded from the epoch loss average."""
+    return any(k.startswith(pre) for pre in _MONITOR_PREFIXES)
 
 
 class Trainer:
@@ -65,6 +73,13 @@ class Trainer:
         # model + functional state
         self.model = build_model(p)
         params, bn_state = self.model.init(jax.random.PRNGKey(self.seed))
+        if p.model_kwargs.get("pretrained") or \
+                p.model_kwargs.get("pvt_pretrained") or \
+                p.model_kwargs.get("resnet_pretrained"):
+            from jspsr_tpu.utils.pretrained import apply_pretrained
+
+            params, bn_state = apply_pretrained(
+                p, self.model, params, bn_state, verbose=self.verbose)
         if self.verbose:
             from jspsr_tpu.utils.summary import count_parameters
 
@@ -157,10 +172,15 @@ class Trainer:
         set_learning_rate(self.state.opt_state, lr,
                           base_lr=p.optimizer_kwargs.lr)
         self.train_loader.set_epoch(epoch)
-        loss_meter = AverageMeter("Total")
         n_samples = 0
         t0 = time.perf_counter()
         losses = None
+        # Epoch loss = batch-size-weighted mean over EVERY step (reference
+        # train_utils.py:216-240 averages each step into an AverageMeter).
+        # Sums accumulate as lazy device scalars — the pattern of
+        # metrics.meters — so there is no per-step host sync; the single
+        # transfer happens at the epoch-end float().
+        loss_sums = None
 
         # NOTE: jax dispatch is asynchronous — train_step returns immediately
         # with future arrays, so host-side decode + device_put of batch i+1
@@ -172,9 +192,20 @@ class Trainer:
             inputs = shard_batch(self.mesh, [np.asarray(x) for x in inputs_np])
             gt = shard_batch(self.mesh, np.asarray(gt_np))
             self.state, losses = self.train_step(self.state, inputs, gt)
-            n_samples += gt_np.shape[0]
-        if losses is not None:
-            loss_meter.update(float(losses["Total"]), 1)
+            bs = gt_np.shape[0]
+            step_losses = {k: v for k, v in losses.items()
+                           if not _is_monitor_key(k)}
+            if loss_sums is None:
+                loss_sums = {k: v * bs for k, v in step_losses.items()}
+            else:
+                loss_sums = {k: loss_sums[k] + v * bs
+                             for k, v in step_losses.items()}
+            n_samples += bs
+        self.last_epoch_losses = (
+            {k: float(v) / n_samples for k, v in loss_sums.items()}
+            if loss_sums else {}
+        )
+        epoch_loss = self.last_epoch_losses.get("Total", float("nan"))
         dt = time.perf_counter() - t0
         self.last_throughput = n_samples / max(dt, 1e-9)  # tiles/sec
         if self.verbose:
@@ -184,9 +215,9 @@ class Trainer:
                          f"{float(losses['grad_max']):.4f}]"
                          f" pred[{float(losses['pred_min']):.4f},"
                          f"{float(losses['pred_max']):.4f}]")
-            print(f"E{epoch:03d} loss {loss_meter.avg:.4e} lr {lr:.2e} "
+            print(f"E{epoch:03d} loss {epoch_loss:.4e} lr {lr:.2e} "
                   f"({self.last_throughput:.1f} samples/s){extra}")
-        return loss_meter.avg, lr
+        return epoch_loss, lr
 
     def evaluate(self, compare_input: bool = False, save_dir=None,
                  visual_dir=None):

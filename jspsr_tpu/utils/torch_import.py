@@ -34,11 +34,12 @@ def _np(x):
 
 
 class _Collector:
-    def __init__(self, sd):
+    def __init__(self, sd, missing_ok: bool = False):
         self.sd = {k: _np(v) for k, v in sd.items()}
         self.params = {}
         self.state = {}
         self.used = set()
+        self.missing_ok = missing_ok
 
     def get(self, name):
         self.used.add(name)
@@ -63,7 +64,21 @@ def _join(t, name):
 
 def _map_module(mod, jpath, tname, col: _Collector):
     """Recursively copy torch tensors for module ``mod`` rooted at torch
-    name ``tname`` into the collector at json path ``jpath``."""
+    name ``tname`` into the collector at json path ``jpath``.
+
+    With ``col.missing_ok`` (the strict=False pretrained-bootstrap mode,
+    reference completion_former_backbone.py:84-86 ``load_state_dict(...,
+    strict=False)``), a missing torch key skips the smallest enclosing
+    submodule and leaves its initialization untouched."""
+    if col.missing_ok:
+        try:
+            return _map_module_strict(mod, jpath, tname, col)
+        except KeyError:
+            return None
+    return _map_module_strict(mod, jpath, tname, col)
+
+
+def _map_module_strict(mod, jpath, tname, col: _Collector):
     if isinstance(mod, nn.Conv2d):
         w = col.get(tname + ".weight")  # OIHW
         col.set_param(jpath + ("w",), w.transpose(2, 3, 1, 0))
@@ -199,11 +214,16 @@ def load_torch_checkpoint(path):
     return blob, {}
 
 
-def import_torch_state_dict(module, state_dict, strict: bool = True):
-    """Returns (params, state) pytrees for ``module`` from a torch state_dict."""
-    col = _Collector(state_dict)
+def import_torch_state_dict(module, state_dict, strict: bool = True,
+                            missing_ok: bool = False):
+    """Returns (params, state) pytrees for ``module`` from a torch state_dict.
+
+    missing_ok=True builds a PARTIAL pytree covering only the keys present —
+    the reference's strict=False pretrained bootstrap
+    (completion_former_backbone.py:84-86); merge it with merge_pytree."""
+    col = _Collector(state_dict, missing_ok=missing_ok)
     _map_module(module, (), "", col)
-    if strict:
+    if strict and not missing_ok:
         unused = {
             k for k in col.sd if k not in col.used
             and not k.endswith("num_batches_tracked")
@@ -212,3 +232,26 @@ def import_torch_state_dict(module, state_dict, strict: bool = True):
             raise KeyError(f"unused torch keys: {sorted(unused)[:10]} "
                            f"({len(unused)} total)")
     return col.params, col.state
+
+
+def merge_pytree(base, new, _path=""):
+    """Merge a (possibly partial) imported pytree into ``base``, skipping
+    leaves whose shapes don't match (the reference's shape-filtered
+    state-dict update, utils/utils.py:352-370). Returns (merged, skipped)."""
+    skipped = []
+
+    def rec(b, n, path):
+        out = dict(b)
+        for k, v in n.items():
+            here = f"{path}/{k}" if path else str(k)
+            if k not in b:
+                skipped.append(here)
+            elif isinstance(v, dict):
+                out[k] = rec(b[k], v, here)
+            elif getattr(b[k], "shape", None) == getattr(v, "shape", None):
+                out[k] = v
+            else:
+                skipped.append(here)
+        return out
+
+    return rec(base, new, _path), skipped

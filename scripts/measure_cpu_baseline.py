@@ -1,10 +1,18 @@
-"""Measure the CPU-reference throughput for the bench ratio.
+"""Measure the CPU baselines for the bench ratio (VERDICT #4).
 
 BASELINE.json's north star is >=10x the CPU-reference throughput in DEM
-tiles/sec/chip. The reference torch pipeline cannot run here (torchvision
-absent), so the CPU reference is THIS framework's flagship forward executed
-on the host CPU (single process, all cores) — the same network, same tile
-protocol. Result is cached in BASELINE_CPU.json (committed).
+tiles/sec/chip. Two baselines are measured and cached in BASELINE_CPU.json:
+
+- ``torch_cpu_tiles_per_sec`` — the ACTUAL PyTorch reference JSPSR 3-branch
+  forward (reference models/JSPSR.py:208-380) on host CPU, imported through
+  the test oracle's torchvision stub (tests/reference_oracle.py; the stub's
+  deform_conv2d is itself golden-verified). This is the honest vs_baseline
+  denominator.
+- ``cpu_tiles_per_sec`` — THIS framework's flagship forward on host CPU
+  (JAX CPU backend), kept for the framework-vs-itself CPU/TPU ratio.
+
+Both run the same protocol: 128x128 tiles, image+mask guidance, eval-mode
+forward, fp32, single process.
 """
 
 import json
@@ -12,10 +20,11 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 
-def main(batch=8, iters=5, warmup=2):
+def measure_jax_cpu(batch=8, iters=5, warmup=2):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -35,17 +44,55 @@ def main(batch=8, iters=5, warmup=2):
     for _ in range(iters):
         out = jfn(*args)
     out.block_until_ready()
-    dt = time.perf_counter() - t0
-    tps = batch * iters / dt
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def measure_torch_reference(batch=4, iters=3, warmup=1):
+    """The reference torch model on CPU — flagship config from the shipped
+    YAMLs (num_feature 32, 2 blocks/stage, spn; configs/jspsr_r8_img_msk.yml)."""
+    import numpy as np
+    import torch
+
+    from tests.reference_oracle import ref_jspsr
+
+    torch.manual_seed(0)
+    tmodel = ref_jspsr(
+        in_channels={"lr_dem": 1, "image": 3, "mask": 15},
+        out_channels=1, num_feature=32, layers=(2, 2, 2, 2), spn=True,
+    )
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    dem = torch.from_numpy(
+        rng.uniform(0.3, 0.7, (batch, 1, 128, 128)).astype(np.float32))
+    img = torch.from_numpy(
+        rng.uniform(0, 1, (batch, 3, 128, 128)).astype(np.float32))
+    msk = torch.from_numpy(
+        (rng.uniform(0, 1, (batch, 15, 128, 128)) < 0.1).astype(np.float32))
+
+    with torch.no_grad():
+        for _ in range(warmup):
+            tmodel(dem, img, msk)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tmodel(dem, img, msk)
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    torch_tps = measure_torch_reference()
+    jax_tps = measure_jax_cpu()
     result = {
-        "cpu_tiles_per_sec": tps,
-        "batch": batch,
-        "iters": iters,
+        # the honest reference denominator (used by bench.py vs_baseline)
+        "torch_cpu_tiles_per_sec": torch_tps,
+        # this framework on host CPU (same-network CPU/TPU ratio)
+        "cpu_tiles_per_sec": jax_tps,
         "tile": "128x128 x8 SR (JSPSR 3-branch img+msk)",
+        "note": "torch number = actual reference models/JSPSR.py forward on "
+                "CPU via the golden-verified torchvision stub",
     }
-    Path(__file__).resolve().parent.parent.joinpath(
-        "BASELINE_CPU.json"
-    ).write_text(json.dumps(result, indent=2))
+    (ROOT / "BASELINE_CPU.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
 
 

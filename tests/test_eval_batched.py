@@ -1,0 +1,69 @@
+"""Batched-eval fast path (VERDICT #9): identical metric AND loss values to
+the reference's bs=1 protocol (evaluate_utils.py:274-357), at any
+valid_batch_size, including a padded remainder batch."""
+
+import numpy as np
+import pytest
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.data.synthetic import generate_mini_dfc30
+from jspsr_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("DFC30_8m")
+    # 5 valid samples: bs=2 forces a padded remainder batch
+    root, train, valid = generate_mini_dfc30(root, train_cities=("Brest",),
+                                             valid_cities=("Vannes",),
+                                             n_per_city=5, size=64)
+    return AttrDict({
+        "name": "eval_batched",
+        "dataset": "DFC30", "dataset_path": str(root), "resolution": 8,
+        "train_set": train, "valid_set": valid,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": False, "patch_size": 32,
+        "crop_mode": "random", "patches_per_image": 1, "workers": 2,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8, "spn": True},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "WarmupStepLR",
+        "scheduler_kwargs": {"max_lr": 1e-3, "step_size": 100, "gamma": 0.5,
+                             "warmup_epoch": 1},
+        "train_batch_size": 2, "epochs": 1, "resume": False,
+        "valid_batch_size": 1, "val_interval": 1, "val_start_epoch": 1,
+        "metric": {
+            "PSNR": {"package": "piq", "border": 0.05, "min": -80, "max": 929},
+            "SSIM": {"package": "piq", "border": 0.05, "min": -80, "max": 929},
+            "RMSE": {"package": "local", "border": 0.05, "min": -80, "max": 929},
+            "Median": {"package": "local", "min": -80, "max": 929},
+            "LE95": {"package": "local", "min": -80, "max": 929},
+        },
+        "best_metric": "RMSE", "val_border": 0.05,
+        "verbose": False, "seed": 0,
+    })
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_batched_eval_matches_bs1(env, tmp_path, batch):
+    p1 = AttrDict(dict(env))
+    t1 = Trainer(p1, result_dir=tmp_path / "bs1")
+    r1 = t1.evaluate(compare_input=True)
+
+    pb = AttrDict(dict(env))
+    pb["valid_batch_size"] = batch  # 5 samples -> padded remainder batch
+    tb = Trainer(pb, result_dir=tmp_path / f"bs{batch}")
+    rb = tb.evaluate(compare_input=True)
+
+    # same seeded init params => same predictions; rtol covers fp32
+    # vectorization differences between batch shapes (the log-minmax
+    # descale's exp reorders rounding at different tile widths)
+    for k in ("loss", "PSNR", "SSIM", "RMSE", "Median", "LE95"):
+        np.testing.assert_allclose(rb[k], r1[k], rtol=5e-5, err_msg=k)
+    for k, v in r1["input"].items():
+        np.testing.assert_allclose(rb["input"][k], v, rtol=5e-5, err_msg=k)

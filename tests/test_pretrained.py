@@ -1,0 +1,206 @@
+"""Config-driven pretrained bootstrap (VERDICT #8).
+
+Covers the reference's three pretrained entry points with FOREIGN-layout
+checkpoints synthesized from the actual reference torch models:
+
+- EDSR public-checkpoint load by tensor POSITION (reference
+  utils/common_config.py:100-102 + utils/utils.py:324-349);
+- PVT backbone strict=False load (completion_former_backbone.py:82-88);
+- torchvision ResNet34 layer1/layer2 stems (pvt.py:13-34,249-252).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.models.edsr import EDSR
+from jspsr_tpu.utils.pretrained import apply_pretrained
+from jspsr_tpu.utils.torch_import import (
+    expected_torch_keys,
+    import_torch_state_dict,
+    merge_pytree,
+)
+from tests.reference_oracle import ref_edsr
+
+
+def _rename_foreign(sd):
+    """Simulate a public checkpoint: same tensors, entirely different
+    module names (positional pairing must not look at names)."""
+    return {f"stage{i // 4}.block{i % 4}.param{i}": v
+            for i, (k, v) in enumerate(sd.items())}
+
+
+def test_edsr_positional_pretrained_forward_parity(tmp_path):
+    torch.manual_seed(3)
+    tmodel = ref_edsr(in_channels=4, out_channels=1, n_resblocks=2,
+                      n_features=8, scale=1, res_scale=0.1, spn=False)
+    tmodel.eval()
+    path = tmp_path / "edsr_foreign.pt"
+    torch.save(_rename_foreign(tmodel.state_dict()), path)
+
+    model = EDSR(in_channels=4, out_channels=1, n_resblocks=2, n_features=8,
+                 scale=1, res_scale=0.1, spn=False)
+    params, state = model.init(jax.random.PRNGKey(0))
+    p = AttrDict({"model_name": "EDSR",
+                  "model_kwargs": {"pretrained": str(path)}})
+    params, state = apply_pretrained(p, model, params, state)
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, size=(1, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    y, _ = model(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                 train=False)
+    got = np.transpose(np.asarray(y), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_edsr_pretrained_extra_and_mismatched_tensors(tmp_path):
+    """A public x2-style checkpoint carries EXTRA upsampler tensors and
+    shape-mismatched heads; positional pairing + shape-filtered merge keeps
+    the matching prefix and leaves the rest at init (reference
+    load_model_from_url would crash here — documented hardening)."""
+    torch.manual_seed(4)
+    tmodel = ref_edsr(in_channels=4, out_channels=1, n_resblocks=2,
+                      n_features=8, scale=1, res_scale=0.1, spn=False)
+    sd = list(tmodel.state_dict().items())
+    foreign = {}
+    for i, (k, v) in enumerate(sd):
+        if i == len(sd) - 2:  # head conv weight: wrong shape
+            foreign[f"f{i}"] = torch.zeros(5, 8, 3, 3)
+        else:
+            foreign[f"f{i}"] = v
+    foreign["tail.extra"] = torch.zeros(7)  # trailing extra tensor
+    path = tmp_path / "edsr_x2ish.pt"
+    torch.save(foreign, path)
+
+    model = EDSR(in_channels=4, out_channels=1, n_resblocks=2, n_features=8,
+                 scale=1, res_scale=0.1, spn=False)
+    params, state = model.init(jax.random.PRNGKey(1))
+    head_init = np.asarray(params["head"]["w"]).copy()
+    p = AttrDict({"model_name": "EDSR",
+                  "model_kwargs": {"pretrained": str(path)}})
+    params, state = apply_pretrained(p, model, params, state)
+
+    # entry conv landed (transposed OIHW->HWIO)...
+    np.testing.assert_allclose(
+        np.asarray(params["entry"]["w"]),
+        sd[0][1].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    # ...while the mismatched head kept its initialization
+    np.testing.assert_allclose(np.asarray(params["head"]["w"]), head_init)
+
+
+def test_pretrained_true_needs_default_file(tmp_path):
+    """pretrained: True uses the model's default path (EDSR.py:87) and fails
+    with a clear message when the file is absent (no egress here)."""
+    model = EDSR(in_channels=4, out_channels=1, n_resblocks=1, n_features=8)
+    params, state = model.init(jax.random.PRNGKey(0))
+    p = AttrDict({"model_name": "EDSR", "model_kwargs": {"pretrained": True}})
+    with pytest.raises(FileNotFoundError, match="EDSR-b32f128x2"):
+        apply_pretrained(p, model, params, state)
+
+
+def test_partial_import_missing_ok():
+    """missing_ok=True: absent torch keys leave that submodule at init;
+    present keys land. Drives the strict=False PVT-bootstrap machinery
+    without building the full PVT (shape-agnostic)."""
+    model = EDSR(in_channels=2, out_channels=1, n_resblocks=2, n_features=8)
+    params, state = model.init(jax.random.PRNGKey(2))
+
+    keys = expected_torch_keys(model)
+    # keep only the entry conv keys
+    keep = [k for k in keys if k.startswith("entry")]
+    full = {k: torch.randn(*_shape_for(model, params, k)) for k in keep}
+    new_p, new_s = import_torch_state_dict(model, full, missing_ok=True)
+    merged, skipped = merge_pytree(params, new_p)
+    assert not skipped
+    np.testing.assert_allclose(
+        np.asarray(merged["entry"]["w"]),
+        full["entry.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    # untouched submodule kept init values
+    np.testing.assert_allclose(np.asarray(merged["head"]["w"]),
+                               np.asarray(params["head"]["w"]))
+
+
+def _shape_for(model, params, torch_key):
+    """Torch-layout shape for a conv weight/bias param of this model."""
+    sub = params
+    parts = torch_key.split(".")
+    name = {"weight": "w", "bias": "b"}[parts[-1]]
+    for k in parts[:-1]:
+        sub = sub[k]
+    shp = sub[name].shape
+    if name == "w" and len(shp) == 4:
+        return (shp[3], shp[2], shp[0], shp[1])  # HWIO -> OIHW
+    return shp
+
+
+def test_resnet34_stem_bootstrap(tmp_path):
+    """resnet_pretrained: torchvision-named layer1/layer2 BasicBlock weights
+    land in PVT's embedding stems (reference pvt.py:249-252)."""
+    from jspsr_tpu.models.pvt import _resnet34_layer1, _resnet34_layer2
+
+    l1, l2 = _resnet34_layer1(), _resnet34_layer2()
+    p1, s1 = l1.init(jax.random.PRNGKey(3))
+    p2, s2 = l2.init(jax.random.PRNGKey(4))
+
+    # synthesize a torchvision-style resnet34 state dict subset
+    sd = {}
+    for lname, mod, pr in (("layer1", l1, p1), ("layer2", l2, p2)):
+        for k in expected_torch_keys(mod):
+            shape = _shape_for_generic(pr, k)
+            sd[f"{lname}.{k}"] = torch.randn(*shape)
+    sd["fc.weight"] = torch.randn(1000, 512)  # extra keys must be ignored
+
+    class FakeFormer:
+        embed_layer1, embed_layer2 = l1, l2
+
+    class FakeBackbone:
+        former = FakeFormer()
+
+    class FakeModel:
+        backbone = FakeBackbone()
+
+    path = tmp_path / "ResNet34.pth"
+    torch.save(sd, path)
+    params = {"backbone": {"former": {"embed_layer1": p1, "embed_layer2": p2}}}
+    bn = {"backbone": {"former": {"embed_layer1": s1, "embed_layer2": s2}}}
+    p = AttrDict({"model_name": "CompletionFormer",
+                  "model_kwargs": {"resnet_pretrained": str(path)}})
+    params2, bn2 = apply_pretrained(p, FakeModel(), params, bn)
+
+    np.testing.assert_allclose(
+        np.asarray(params2["backbone"]["former"]["embed_layer1"]["0"]
+                   ["conv1"]["w"]),
+        sd["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    # BN running stats land in state
+    np.testing.assert_allclose(
+        np.asarray(bn2["backbone"]["former"]["embed_layer2"]["0"]["bn1"]
+                   ["mean"]),
+        sd["layer2.0.bn1.running_mean"].numpy(), rtol=1e-6)
+
+
+def _shape_for_generic(params, torch_key):
+    sub = params
+    parts = torch_key.split(".")
+    leaf = parts[-1]
+    for k in parts[:-1]:
+        if k not in sub:  # LDownsample: torch Sequential 0/1 -> conv/bn
+            k = {"0": "conv", "1": "bn"}[k]
+        sub = sub[k]
+    if leaf in ("running_mean", "running_var"):
+        return sub["scale"].shape  # BN stats: same (C,) as the scale param
+    name = {"weight": "w", "bias": "b"}.get(leaf, leaf)
+    if name not in sub and leaf == "weight":
+        name = "scale"  # BatchNorm weight
+    if name not in sub and leaf == "bias":
+        name = "bias"  # BatchNorm bias
+    shp = sub[name].shape
+    if name == "w" and len(shp) == 4:
+        return (shp[3], shp[2], shp[0], shp[1])  # HWIO -> OIHW
+    return shp

