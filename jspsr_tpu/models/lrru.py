@@ -227,8 +227,11 @@ class PostProcess(Module):
             weight = weight - jnp.mean(weight, axis=-1, keepdims=True)
         else:
             weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
+        # x_grad=False: every refinement round detaches its input depth
+        # (reference LRRU.py:453,467,481,496)
         out = deform_conv2d(depth, offset, params["w"], params["b"], weight,
-                            padding=(self.kernel_size - 1) // 2)
+                            padding=(self.kernel_size - 1) // 2,
+                            x_grad=False)
         if self.dkn_residual:
             out = out + depth
         return out, {}

@@ -84,9 +84,12 @@ class PostProcessor(Module):
         else:
             weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
         pad = (self.kernel_size - 1) // 2
+        # x_grad=False: the DEM reaching the SPN head is detached in both
+        # JSPSR (reference JSPSR.py:372) and EDSR (EDSR.py:124-125), so the
+        # fused backward skips the dead input-scatter matmul
         refined = deform_conv2d(
             init_dem, offset, params["w"], params["b"], weight,
-            stride=1, padding=pad, dilation=1,
+            stride=1, padding=pad, dilation=1, x_grad=False,
         )
         if self.residual:
             refined = refined + self.scale * init_dem

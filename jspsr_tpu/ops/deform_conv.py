@@ -213,7 +213,8 @@ def deform_im2col_mxu(
 
 @partial(
     jax.jit,
-    static_argnames=("kernel_size", "stride", "padding", "dilation", "impl"),
+    static_argnames=("kernel_size", "stride", "padding", "dilation", "impl",
+                     "x_grad"),
 )
 def deform_conv2d(
     x: jax.Array,
@@ -227,19 +228,48 @@ def deform_conv2d(
     padding=1,
     dilation=1,
     impl: str = "auto",
+    x_grad: bool = True,
 ) -> jax.Array:
     """Modulated deformable conv, NHWC.
 
     x: (B, H, W, Cin); offset: (B, Ho, Wo, 2K); weight HWIO: (kh, kw, Cin, Cout);
     mask: (B, Ho, Wo, K) or None; returns (B, Ho, Wo, Cout).
+
+    x_grad=False declares that no gradient will be consumed through ``x``
+    (e.g. the SPN head's detached DEM, reference JSPSR.py:372) — the fused
+    Pallas backward then skips the input-scatter matmul; other impls ignore
+    the flag (autodiff prunes the dead branch anyway).
     """
     kh, kw, cin, cout = weight.shape
     if impl == "auto":
         impl = "mxu" if jax.default_backend() != "cpu" else "gather"
+        if impl == "mxu":
+            from jspsr_tpu.ops.pallas_deform import pallas_case_supported
+
+            if pallas_case_supported(x, offset, weight, stride, padding,
+                                     dilation):
+                impl = "pallas"
     # Deformable sampling needs fp32: bf16 offsets quantize positions to
     # ~1/64 px, and bf16 one-hot compare/matmul compiles pathologically on
     # TPU. Compute the sampling in fp32, cast back at the end.
     out_dtype = x.dtype
+    if impl == "pallas":
+        # fused kernel (forward + fused VJP) for the 1-channel 3x3 hot case:
+        # image loaded once per row-block program, all taps accumulated in
+        # VMEM, no HBM im2col (ops/pallas_deform.py)
+        from jspsr_tpu.ops.pallas_deform import deform_conv2d_pallas
+
+        ph = padding if isinstance(padding, int) else padding[0]
+        out = deform_conv2d_pallas(
+            x.astype(jnp.float32),
+            offset.astype(jnp.float32),
+            weight.astype(jnp.float32),
+            jnp.zeros((1,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32),
+            None if mask is None else mask.astype(jnp.float32),
+            ph, x_grad,
+        )
+        return out.astype(out_dtype)
     if impl == "mxu":
         # custom-VJP path: hand-written backward (matmuls, recomputed
         # one-hots) instead of autodiff's HBM-heavy transposed scan

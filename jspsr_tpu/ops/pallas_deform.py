@@ -1,30 +1,38 @@
-"""Fused Pallas TPU kernel for the JSPSR spatial-propagation refinement.
+"""Fused Pallas TPU kernels for the JSPSR spatial-propagation refinement.
 
-The hot case of modulated deformable convolution (reference spn.py:105-114):
-single-channel DEM, 3x3 kernel, stride 1, unit dilation. One kernel program
-covers a (bh, W) block of output rows for one batch element:
+The hot case of modulated deformable convolution (reference spn.py:105-114,
+LRRU.py:284-293, nlspn.py:130-139): single-channel DEM, 3x3 kernel, stride 1,
+unit dilation, per-tap bilinear sampling modulated by an affinity mask.
 
-- the whole DEM tile lives in VMEM (a 128x128 fp32 tile is 64 KB);
-- per tap, bilinear sampling is computed as a 2-hot row-weight matrix times
-  the image (one MXU matmul) followed by 2-hot column weights applied on the
-  VPU — the same gather-free one-hot formulation as ops.deform_conv's mxu
-  path, but fused: offsets -> positions -> weights -> matmul -> modulation ->
-  kernel contraction all happen in one VMEM-resident pass, with no
-  intermediate im2col tensor in HBM;
-- out-of-bounds taps contribute zero automatically (no one-hot match),
-  which is exactly DCNv2's zero-padded bilinear semantics.
+Design (v2 — replaces the round-1 (block, tap)-gridded kernel that lost to
+XLA 8x by re-reading the image and recomputing iotas per tap):
 
-Training support: `deform_conv2d_pallas` is wrapped in jax.custom_vjp whose
-backward differentiates the (numerically identical) XLA mxu formulation, so
-the kernel is usable inside jitted train steps.
+- grid = (batch, row_block); ONE program owns a (bh, W) strip of output and
+  loops the K=9 taps IN-KERNEL, so the image is loaded into VMEM once and the
+  accumulator never leaves registers/VMEM — no revisited HBM output, no
+  intermediate im2col tensor in HBM (the XLA mxu path materializes
+  (B, Ho, Wo, K) columns).
+- every tensor keeps P = bh*W on the LANE axis and H/W on sublanes, so no
+  in-kernel transposes are needed: positions arrive as (B, nb, K, P) blocks,
+  one-hot row weights are built as (H, P), and the sampling matmul is
+  dot_general(IMG (H, W), Wy (H, P)) -> (W, P) contracting sublanes (the
+  MXU's transposed-lhs form).
+- bilinear 2-hot weights are built as a TENT function
+  relu(1 - |iota - pos|): exactly the (1-t, t) pair at floor/floor+1, zero
+  outside the image (DCNv2 zero-padding semantics), 3 VPU ops instead of the
+  6 of the compare-and-blend form.
+- backward is a second fused kernel (same layout) computing d_offset, d_mask,
+  d_weight partials and (optionally) d_x in one pass, using the
+  floor-based one-hot DERIVATIVE (oy1 - oy0) — the tent subgradient is zero
+  at exact-integer positions, which would kill offset learning at the
+  zero-offset initialization (reference spn.py:49-52 inits offsets at 0).
+- ``x_grad=False`` (static) skips the d_x scatter matmul entirely: JSPSR
+  detaches the DEM before the SPN head (reference JSPSR.py:372), so a third
+  of the backward FLOPs are dead there.
 
-STATUS (v5e, batch 16 x 128^2, fp32): correct on real TPU (matches the XLA
-path to 5e-7) but ~8x slower (17.8 ms vs 2.1 ms): this op's matmuls are
-small and the one-hot construction is VPU-bound, so XLA's fused scan
-pipeline beats a (block, tap)-gridded kernel with its per-program iota
-recompute + revisited-output traffic. ops.deform_conv(impl="mxu") stays the
-production path; this kernel is kept as the Pallas reference implementation
-(and the scaffold for a future flash-style multi-tap fused variant).
+Numerical contract: identical to ops.deform_conv.deform_conv2d (XLA) and the
+torchvision golden, verified in tests/test_pallas_deform.py. fp32 only (the
+sampling is precision-critical; see ops/deform_conv.py).
 """
 
 from __future__ import annotations
@@ -33,155 +41,266 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jspsr_tpu.ops import deform_conv as _dc
 
-
-def _make_kernel(h: int, w: int, bh: int, k: int, pad: int):
-    """One grid step = one (row-block, tap) pair. Taps live on the last
-    (sequential, 'arbitrary') grid dimension and ACCUMULATE into the same
-    revisited output block, so per-tap VMEM buffers are reused and the
-    per-tap offset/mask slices arrive via BlockSpec index maps (no dynamic
-    lane slicing, which Mosaic rejects). All tensors stay 2D — cross-lane
-    reshapes like (bh, W) -> (P, 1) are unsupported; the host pre-flattens
-    the P = bh*W axis."""
-    kk = k * k
-    p_rows = bh * w
-
-    def kernel(x_ref, offy_ref, offx_ref, mask_ref, w_ref, b_ref, out_ref):
-        blk = pl.program_id(1)
-        t = pl.program_id(2)
-        img = x_ref[0]  # (H, W)
-
-        p_i = jax.lax.broadcasted_iota(jnp.int32, (p_rows, 1), 0)
-        row_base = blk * bh - pad
-        oy = (row_base + p_i // w).astype(jnp.float32)
-        ox = (p_i % w - pad).astype(jnp.float32)
-        rows_i = jax.lax.broadcasted_iota(
-            jnp.int32, (p_rows, h), 1).astype(jnp.float32)
-        cols_i = jax.lax.broadcasted_iota(
-            jnp.int32, (p_rows, w), 1).astype(jnp.float32)
-
-        py = oy + (t // k).astype(jnp.float32) + offy_ref[0, 0, 0]
-        px = ox + (t % k).astype(jnp.float32) + offx_ref[0, 0, 0]
-        y0 = jnp.floor(py)
-        x0 = jnp.floor(px)
-        ty = py - y0
-        tx = px - x0
-        wy = (rows_i == y0) * (1.0 - ty) + (rows_i == y0 + 1.0) * ty
-        tmp = jnp.dot(wy, img, preferred_element_type=jnp.float32)
-        wx = (cols_i == x0) * (1.0 - tx) + (cols_i == x0 + 1.0) * tx
-        val = jnp.sum(tmp * wx, axis=1, keepdims=True)  # (P, 1)
-        contrib = w_ref[0, t] * mask_ref[0, 0, 0] * val
-
-        @pl.when(t == 0)
-        def _():
-            out_ref[0, 0] = contrib + b_ref[0, 0]
-
-        @pl.when(t > 0)
-        def _():
-            out_ref[0, 0] = out_ref[0, 0] + contrib
-
-    return kernel
+_F32 = jnp.float32
 
 
-def _pick_block(h: int, target: int = 16) -> int:
+def _pick_block(h: int, target: int = 8) -> int:
     for b in range(min(target, h), 0, -1):
         if h % b == 0:
             return b
     return 1
 
 
-@partial(jax.jit, static_argnames=("padding",))
-def _pallas_forward(x, offset, weight, bias, mask, padding: int = 1):
+def _prep_layout(x, offset, mask, padding: int, bh: int | None):
+    """Host-side (XLA) re-layout into the kernel's P-on-lanes format."""
     b, h, w, cin = x.shape
-    kh, kw, _, cout = weight.shape
-    assert cin == 1 and cout == 1 and kh == kw, "pallas path: 1ch, square k"
-    k = kh
-    kk = k * k
-    bh = _pick_block(h)
+    kh = kw = 3
+    k = kh * kw
+    _, ho, wo, ck = offset.shape
+    assert cin == 1 and (ho, wo) == (h, w) and ck == 2 * k
+    bh = bh or _pick_block(h)
     nb = h // bh
-    p_rows = bh * w
-    kernel = _make_kernel(h, w, bh, k, padding)
-    w_flat = weight.reshape(1, kk).astype(jnp.float32)
-    b_s = bias.reshape(1, 1).astype(jnp.float32)
+    p = bh * w
 
-    # tap-leading host layouts: (B, K, nb, P, 1) so per-tap blocks satisfy
-    # Mosaic's (sublane%8, lane%128-or-full) block constraints
-    off5 = offset.astype(jnp.float32).reshape(b, nb, p_rows, kk, 2)
-    off_y = off5[..., 0].transpose(0, 3, 1, 2)[..., None]
-    off_x = off5[..., 1].transpose(0, 3, 1, 2)[..., None]
-    mask_t = (
-        mask.astype(jnp.float32).reshape(b, nb, p_rows, kk)
-        .transpose(0, 3, 1, 2)[..., None]
-    )
+    py, px = _dc._positions(x.astype(_F32), offset.astype(_F32),
+                            (kh, kw), 1, padding, 1)  # (B, H, W, K)
+    pos_y = py.reshape(b, nb, p, k).transpose(0, 1, 3, 2)  # (B, nb, K, P)
+    pos_x = px.reshape(b, nb, p, k).transpose(0, 1, 3, 2)
+    if mask is None:
+        mask_t = jnp.ones((b, nb, k, p), _F32)
+    else:
+        mask_t = mask.astype(_F32).reshape(b, nb, p, k).transpose(0, 1, 3, 2)
+    return x[..., 0].astype(_F32), pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p)
+
+
+def _fwd_kernel(h, w, k, p):
+    def kernel(x_ref, py_ref, px_ref, m_ref, w_ref, b_ref, out_ref):
+        img = x_ref[0]  # (H, W) — loaded once per program
+        rows_i = lax.broadcasted_iota(jnp.int32, (h, p), 0).astype(_F32)
+        cols_i = lax.broadcasted_iota(jnp.int32, (w, p), 0).astype(_F32)
+        acc = jnp.full((1, p), b_ref[0, 0], _F32)
+        for t in range(k):  # unrolled: K accumulations in VMEM
+            py = py_ref[0, 0, t:t + 1, :]  # (1, P)
+            px = px_ref[0, 0, t:t + 1, :]
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(rows_i - py))  # tent (H, P)
+            tmp = lax.dot_general(img, wy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=_F32)  # (W, P)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols_i - px))
+            val = jnp.sum(tmp * wx, axis=0, keepdims=True)  # (1, P)
+            acc = acc + w_ref[0, t] * m_ref[0, 0, t:t + 1, :] * val
+        out_ref[0, 0] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("padding", "block_rows"))
+def _pallas_forward(x, offset, weight, bias, mask, padding: int = 1,
+                    block_rows: int | None = None):
+    x2, pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p) = _prep_layout(
+        x, offset, mask, padding, block_rows)
+    w_flat = weight.reshape(1, k).astype(_F32)
+    b_s = (bias if bias is not None else jnp.zeros((1,))).reshape(1, 1).astype(_F32)
 
     out = pl.pallas_call(
-        kernel,
-        grid=(b, nb, kk),
+        _fwd_kernel(h, w, k, p),
+        grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda bi, i, t: (bi, 0, 0),
+            pl.BlockSpec((1, h, w), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p_rows, 1),
-                         lambda bi, i, t: (bi, t, i, 0, 0),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p_rows, 1),
-                         lambda bi, i, t: (bi, t, i, 0, 0),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p_rows, 1),
-                         lambda bi, i, t: (bi, t, i, 0, 0),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kk), lambda bi, i, t: (0, 0),
+            pl.BlockSpec((1, k), lambda bi, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda bi, i, t: (0, 0),
+            pl.BlockSpec((1, 1), lambda bi, i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, p_rows, 1), lambda bi, i, t: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, nb, p_rows, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 1, p), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nb, 1, p), _F32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(
-        x[..., 0].astype(jnp.float32),
-        off_y,
-        off_x,
-        mask_t,
-        w_flat,
-        b_s,
-    )
+    )(x2, pos_y, pos_x, mask_t, w_flat, b_s)
     return out.reshape(b, h, w, 1).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def deform_conv2d_pallas(x, offset, weight, bias, mask, padding: int = 1):
-    """Fused modulated deformable conv (1-channel, square kernel, stride 1).
+def _bwd_kernel(h, w, k, p, need_dx: bool):
+    def kernel(x_ref, py_ref, px_ref, m_ref, w_ref, g_ref,
+               dpy_ref, dpx_ref, dm_ref, dw_ref, *maybe_dx):
+        i = pl.program_id(1)
+        img = x_ref[0]
+        g = g_ref[0, 0]  # (1, P)
+        rows_i = lax.broadcasted_iota(jnp.int32, (h, p), 0).astype(_F32)
+        cols_i = lax.broadcasted_iota(jnp.int32, (w, p), 0).astype(_F32)
+        dw_parts = []
+        dx_acc = jnp.zeros((h, w), _F32) if need_dx else None
+        for t in range(k):
+            py = py_ref[0, 0, t:t + 1, :]
+            px = px_ref[0, 0, t:t + 1, :]
+            m = m_ref[0, 0, t:t + 1, :]
+            wt = w_ref[0, t]
+            y0 = jnp.floor(py)
+            x0 = jnp.floor(px)
+            oy0 = (rows_i == y0).astype(_F32)
+            oy1 = (rows_i == y0 + 1.0).astype(_F32)
+            ox0 = (cols_i == x0).astype(_F32)
+            ox1 = (cols_i == x0 + 1.0).astype(_F32)
+            wy = oy0 * (1.0 - (py - y0)) + oy1 * (py - y0)  # (H, P)
+            wx = ox0 * (1.0 - (px - x0)) + ox1 * (px - x0)  # (W, P)
+
+            tmp = lax.dot_general(img, wy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=_F32)  # (W, P)
+            val = jnp.sum(tmp * wx, axis=0, keepdims=True)  # (1, P)
+            gwm = g * (wt * m)  # cotangent reaching the sample value
+            # d_mask = g * w_t * val
+            dm_ref[0, 0, t:t + 1, :] = g * wt * val
+            # d_w partial = sum_p g * m * val  (summed over programs outside)
+            dw_parts.append(jnp.sum(g * m * val).reshape(1, 1))
+            # d_px: dval/dpx = sum_w tmp * (ox1 - ox0)   (reuses tmp)
+            dpx_ref[0, 0, t:t + 1, :] = gwm * jnp.sum(
+                tmp * (ox1 - ox0), axis=0, keepdims=True)
+            # d_py: one extra matmul with the derivative one-hots
+            tdy = lax.dot_general(img, oy1 - oy0, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=_F32)
+            dpy_ref[0, 0, t:t + 1, :] = gwm * jnp.sum(
+                tdy * wx, axis=0, keepdims=True)
+            if need_dx:
+                # d_x[h, w] += sum_p wy[h,p] * wx[w,p] * gwm[p]
+                dx_acc = dx_acc + lax.dot_general(
+                    wy, wx * gwm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32)
+        dw_ref[0, 0] = jnp.concatenate(dw_parts, axis=1)
+        if need_dx:
+            dx_ref = maybe_dx[0]
+
+            @pl.when(i == 0)
+            def _():
+                dx_ref[0] = dx_acc
+
+            @pl.when(i > 0)
+            def _():
+                dx_ref[0] = dx_ref[0] + dx_acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("padding", "x_grad", "block_rows"))
+def _pallas_backward(x, offset, weight, bias, mask, g, padding: int = 1,
+                     x_grad: bool = True, block_rows: int | None = None):
+    x2, pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p) = _prep_layout(
+        x, offset, mask, padding, block_rows)
+    w_flat = weight.reshape(1, k).astype(_F32)
+    g2 = g.astype(_F32).reshape(b, nb, 1, p)  # (B, nb, 1, P) blocks
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, nb, k, p), _F32),  # d_py
+        jax.ShapeDtypeStruct((b, nb, k, p), _F32),  # d_px
+        jax.ShapeDtypeStruct((b, nb, k, p), _F32),  # d_mask
+        jax.ShapeDtypeStruct((b, nb, 1, k), _F32),  # d_w partials
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, k), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if x_grad:
+        # revisited (B, H, W) accumulator: row-blocks run sequentially
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, w), _F32))
+        out_specs.append(pl.BlockSpec((1, h, w), lambda bi, i: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        _bwd_kernel(h, w, k, p, x_grad),
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, p), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda bi, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",
+                                 "arbitrary" if x_grad else "parallel"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, pos_y, pos_x, mask_t, w_flat, g2)
+
+    d_py, d_px, d_mask_t, d_w_parts = outs[:4]
+    # back to model layouts
+    d_py = d_py.transpose(0, 1, 3, 2).reshape(b, h, w, k)
+    d_px = d_px.transpose(0, 1, 3, 2).reshape(b, h, w, k)
+    d_offset = jnp.stack([d_py, d_px], axis=-1).reshape(b, h, w, 2 * k)
+    d_mask = d_mask_t.transpose(0, 1, 3, 2).reshape(b, h, w, k)
+    d_weight = jnp.sum(d_w_parts, axis=(0, 1, 2)).reshape(weight.shape)
+    d_bias = jnp.sum(g.astype(_F32), axis=(0, 1, 2))
+    d_x = (outs[4].reshape(b, h, w, 1) if x_grad
+           else jnp.zeros_like(x, _F32))
+    return d_x, d_offset, d_mask, d_weight, d_bias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def deform_conv2d_pallas(x, offset, weight, bias, mask, padding: int = 1,
+                         x_grad: bool = True):
+    """Fused modulated deformable conv (1-channel, 3x3, stride 1).
 
     Semantics == ops.deform_conv.deform_conv2d(..., stride=1, dilation=1).
+    x_grad=False (static) skips the input-gradient scatter in the backward
+    kernel — correct wherever the DEM input is detached (JSPSR spn head,
+    LRRU refinement rounds); the returned d_x is zeros.
     """
     return _pallas_forward(x, offset, weight, bias, mask, padding=padding)
 
 
-def _fwd(x, offset, weight, bias, mask, padding):
+def _vjp_fwd(x, offset, weight, bias, mask, padding, x_grad):
     y = _pallas_forward(x, offset, weight, bias, mask, padding=padding)
     return y, (x, offset, weight, bias, mask)
 
 
-def _bwd(padding, res, g):
+def _vjp_bwd(padding, x_grad, res, g):
     x, offset, weight, bias, mask = res
+    d_x, d_offset, d_mask, d_weight, d_bias = _pallas_backward(
+        x, offset, weight, bias, mask, g[..., 0],
+        padding=padding, x_grad=x_grad)
+    return (d_x.astype(x.dtype),
+            d_offset.astype(offset.dtype),
+            d_weight.astype(weight.dtype),
+            None if bias is None else d_bias.reshape(bias.shape).astype(bias.dtype),
+            None if mask is None else d_mask.astype(mask.dtype))
 
-    def ref(x, offset, weight, bias, mask):
-        return _dc.deform_conv2d(x, offset, weight, bias, mask,
-                                 stride=1, padding=padding, dilation=1,
-                                 impl="mxu")
 
-    _, vjp = jax.vjp(ref, x, offset, weight, bias, mask)
-    return vjp(g)
+deform_conv2d_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-deform_conv2d_pallas.defvjp(_fwd, _bwd)
+def pallas_case_supported(x, offset, weight, stride, padding, dilation) -> bool:
+    """The fused kernel covers the framework's hot case: 1-channel in/out,
+    3x3 kernel, stride 1, unit dilation, offsets on the input grid."""
+    kh, kw, cin, cout = weight.shape
+    return (cin == 1 and cout == 1 and kh == 3 and kw == 3
+            and stride in (1, (1, 1)) and dilation in (1, (1, 1))
+            and offset.shape[1:3] == x.shape[1:3])

@@ -53,3 +53,56 @@ def test_pallas_custom_vjp_matches_xla_grad():
     for a, b in zip(g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_grad_at_zero_offsets():
+    """The SPN generator initializes offsets at exactly 0 (reference
+    spn.py:49-52): integer sampling positions. The backward kernel must use
+    the floor-based one-hot derivative (forward difference) there — a tent
+    subgradient would return zero and kill offset learning at init."""
+    x, off, mask, wgt, bias = _case(1, 8, 16, 0.0, 7)
+
+    def loss_pallas(off):
+        return jnp.sum(deform_conv2d_pallas(x, off, wgt, bias, mask, 1) ** 2)
+
+    def loss_xla(off):
+        return jnp.sum(deform_conv2d(x, off, wgt, bias, mask,
+                                     impl="gather") ** 2)
+
+    g_p = jax.grad(loss_pallas)(off)
+    g_x = jax.grad(loss_xla)(off)
+    assert float(jnp.max(jnp.abs(g_x))) > 0  # the oracle learns offsets
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_x_grad_false_skips_input_grad():
+    """x_grad=False (detached-DEM call sites) returns zero d_x and identical
+    gradients for every other input."""
+    x, off, mask, wgt, bias = _case(1, 8, 16, 1.0, 8)
+
+    def loss(x, off, mask, wgt, bias, xg):
+        return jnp.sum(deform_conv2d_pallas(x, off, wgt, bias, mask, 1, xg) ** 2)
+
+    g_t = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, off, mask, wgt, bias, True)
+    g_f = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, off, mask, wgt, bias, False)
+    assert float(jnp.max(jnp.abs(g_f[0]))) == 0.0
+    for a, b in zip(g_t[1:], g_f[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_impl_pallas_routing():
+    """deform_conv2d(impl='pallas') routes the supported hot case through the
+    fused kernel; unsupported shapes are rejected by pallas_case_supported."""
+    from jspsr_tpu.ops.pallas_deform import pallas_case_supported
+
+    x, off, mask, wgt, bias = _case(1, 8, 16, 1.0, 9)
+    assert pallas_case_supported(x, off, wgt, 1, 1, 1)
+    got = deform_conv2d(x, off, wgt, bias, mask, impl="pallas")
+    ref = deform_conv2d(x, off, wgt, bias, mask, impl="gather")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # multi-channel: not the fused case
+    wgt2 = jnp.tile(wgt, (1, 1, 2, 1))
+    x2 = jnp.tile(x, (1, 1, 1, 2))
+    assert not pallas_case_supported(x2, off, wgt2, 1, 1, 1)
