@@ -110,9 +110,11 @@ def main():
         except Exception as e:
             print(f"# fallback failed: {e}", file=sys.stderr)
 
-    # train-step throughput at the best probed config (PERF.md sweep)
+    # train-step throughput at the best probed config (PERF.md sweep:
+    # b16 plain wins; b32 fits without remat since the fused Pallas VJP
+    # but is slightly slower)
     train_tps, train_cfg = None, None
-    for batch, stages in ((32, True), (16, False)):
+    for batch, stages in ((16, False), (32, False)):
         try:
             train_tps = measure_train(batch, stages)
             train_cfg = {"batch": batch, "remat_stages": stages}

@@ -139,3 +139,47 @@ def test_global_pools():
     np.testing.assert_allclose(
         np.asarray(nn.global_max_pool(x))[0, 0, 0], np.asarray(x[0].max(axis=(0, 1)))
     )
+
+
+def test_conv2d_s2d_lowering_exact():
+    """The space-to-depth lowering of stride-2 3x3 convs (PERF.md backward
+    efficiency fix) computes the identical function and gradients."""
+    import jax
+    from jspsr_tpu.nn import layers as L
+
+    conv = L.Conv2d(6, 8, 3, stride=2, padding=1, bias=True)
+    params, _ = conv.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 16, 12, 6)).astype(np.float32))
+
+    def run(x, params):
+        y, _ = conv(params, {}, x)
+        return y
+
+    L.set_s2d_stride2(False)
+    try:
+        ref = run(x, params)
+        g_ref = jax.grad(lambda x, p: jnp.sum(jnp.tanh(run(x, p))),
+                         argnums=(0, 1))(x, params)
+        L.set_s2d_stride2(True)
+        got = run(x, params)
+        g_got = jax.grad(lambda x, p: jnp.sum(jnp.tanh(run(x, p))),
+                         argnums=(0, 1))(x, params)
+    finally:
+        L.set_s2d_stride2("auto")
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # odd spatial size falls back to the strided lowering (shape guard)
+    x_odd = x[:, :15]
+    L.set_s2d_stride2(True)
+    try:
+        y_odd, _ = conv(params, {}, x_odd)
+    finally:
+        L.set_s2d_stride2("auto")
+    assert y_odd.shape == (2, 8, 6, 8)
