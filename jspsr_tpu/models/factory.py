@@ -31,6 +31,8 @@ def build_model(p):
             cat_only=mk.get("cat_only", True),
             generator_leaky=mk.get("generator_leaky", False),
             remat_stages=mk.get("remat_stages", False),
+            fuse_stems=mk.get("fuse_stems", True),
+            compute_dtype=mk.get("compute_dtype", None),
         )
     if name == "edsr":
         from jspsr_tpu.models.edsr import EDSR

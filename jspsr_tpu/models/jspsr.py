@@ -59,11 +59,30 @@ class JSPSR(Module):
         cat_only: bool = True,
         generator_leaky: bool = False,
         remat_stages: bool = False,
+        fuse_stems: bool = True,
+        compute_dtype=None,
     ):
         super().__init__()
         self.name = "JSPSR"
         self.in_channels = dict(in_channels)
         self.spn = spn
+        # fuse_stems: run the per-branch 5x5 stems as ONE block-diagonal conv
+        # (exact arithmetic). The separate stems have Cin 1/3/15 — an
+        # MXU-hostile contraction of 25/75/375 rows; measured 1.5 ms fwd +
+        # 7 ms in the backward at b16 (scripts/bench_grad_bisect.py). The
+        # fused conv is a single well-filled pass over the concat input.
+        self.fuse_stems = fuse_stems
+        # compute_dtype: mixed-precision body. bfloat16 runs the encoder/
+        # decoder/generator features in bf16 (2x MXU, half the HBM traffic
+        # of the bandwidth-bound full-res layers) while keeping everything
+        # precision-critical in fp32: the raw DEM, the deformable sampling
+        # (weights/offsets are cast back), BN statistics, and the loss.
+        # Round-1's all-bf16 test (+1.55 m RMSE) failed because the DEM
+        # VALUES were quantized; here they never leave fp32.
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype) if compute_dtype is not None
+            else jnp.dtype(jnp.float32)
+        )
         assert len(in_channels) > 1, "At least 2 input modalities are required"
         assert "lr_dem" in in_channels
         self.cat_only = cat_only
@@ -158,6 +177,43 @@ class JSPSR(Module):
             keys.append(self.aux_key)
         return keys
 
+    def _fused_stems(self, params, state, ns, stems, cdt, train):
+        """All stem convs as one block-diagonal 5x5 conv (exact arithmetic).
+
+        The logical per-branch weights stay separate in the param tree;
+        they are assembled into a block matrix at trace time (cheap copies,
+        and gradients flow back through the slice assembly). BN (image stem
+        only, reference JSPSR.py:66-87) and ReLU apply per output slice.
+        """
+        xs = jnp.concatenate([x.astype(cdt) for _, _, x in stems], axis=-1)
+        nf = self.conv_dem.conv.out_channels
+        cin_tot = xs.shape[-1]
+        w = jnp.zeros((5, 5, cin_tot, nf * len(stems)), cdt)
+        b = jnp.zeros((nf * len(stems),), cdt)
+        ci = 0
+        for i, (name, _, x) in enumerate(stems):
+            conv_p = params[name]["conv"]
+            w = w.at[:, :, ci:ci + x.shape[-1], i * nf:(i + 1) * nf].set(
+                conv_p["w"].astype(cdt))
+            if "b" in conv_p:
+                b = b.at[i * nf:(i + 1) * nf].set(conv_p["b"].astype(cdt))
+            ci += x.shape[-1]
+        y = jax.lax.conv_general_dilated(
+            xs, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        feats = {}
+        for i, (name, key, _) in enumerate(stems):
+            sl = y[..., i * nf:(i + 1) * nf]
+            mod = getattr(self, name)
+            if mod.bn is not None:
+                sl, s = mod.bn(params[name]["bn"], state[name]["bn"], sl,
+                               train=train)
+                if s:
+                    ns[name] = {"bn": s}
+            feats[key] = jnp.maximum(sl, 0)
+        return feats
+
     def __call__(self, params, state, inputs, train: bool = False,
                  rng=None):
         """inputs: list/tuple of NHWC arrays in input_keys() order.
@@ -185,11 +241,19 @@ class JSPSR(Module):
         img = inputs[1] if self.has_img else None
         aux = inputs[-1] if self.aux_key else None
 
-        feats = {"dem": run("conv_dem", dem)}
+        cdt = self.compute_dtype
+        stems = [("conv_dem", "dem", dem)]
         if self.has_img:
-            feats["img"] = run("conv_img", img)
+            stems.append(("conv_img", "img", img))
         if self.aux_key:
-            feats["aux"] = run("conv_aux", aux)
+            stems.append(("conv_aux", "aux", aux))
+
+        if self.fuse_stems and len(stems) > 1:
+            feats = self._fused_stems(params, state, ns, stems, cdt, train)
+        else:
+            feats = {
+                key: run(name, x.astype(cdt)) for name, key, x in stems
+            }
 
         fused = {}
         dem_in = feats["dem"]
@@ -230,14 +294,18 @@ class JSPSR(Module):
             # raw LR DEM as data, not as a learnable path (ref JSPSR.py:372).
             dem_sg = jax.lax.stop_gradient(dem)
             (weight, offset), s = self.generator(
-                params["generator"], state.get("generator", {}), dem_sg, c0,
-                train=train,
+                params["generator"], state.get("generator", {}),
+                dem_sg.astype(cdt), c0, train=train,
             )
             if s:
                 ns["generator"] = s
+            # Deformable sampling of the raw DEM is precision-critical:
+            # affinities/offsets re-enter fp32, the DEM itself never left it.
             output, _ = self.postprocessor(
-                params["postprocessor"], {}, dem_sg, weight, offset, train=train
+                params["postprocessor"], {}, dem_sg,
+                weight.astype(jnp.float32), offset.astype(jnp.float32),
+                train=train,
             )
         else:
-            output = run("postprocessor", c0)
+            output = run("postprocessor", c0).astype(jnp.float32)
         return output, ns

@@ -1,0 +1,94 @@
+"""Accuracy gate for the bf16 mixed-precision body (PERF.md).
+
+Trains the flagship-shaped JSPSR twice on the SAME synthetic mini-DFC30
+(same seed, same data) — fp32 body vs compute_dtype=bfloat16 — and compares
+final validation RMSE in meters. Round 1 rejected ALL-bf16 inference
+(+1.55 m RMSE) because the log-minmax elevation VALUES were quantized; the
+mixed scheme keeps the DEM path and deformable sampling in fp32, so the
+expectation is parity. This script is the evidence.
+
+Usage: python scripts/soak_bf16_compare.py [epochs] [--cpu]
+"""
+
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.data.synthetic import generate_mini_dfc30
+from jspsr_tpu.train.trainer import Trainer
+
+
+def make_config(root, train, valid, epochs, compute_dtype):
+    return AttrDict({
+        "name": f"bf16_gate_{compute_dtype or 'fp32'}", "dataset": "DFC30",
+        "dataset_path": str(root), "resolution": 8,
+        "train_set": train, "valid_set": valid,
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 15},
+        "relative": True, "augment": True, "patch_size": 128,
+        "crop_mode": "random", "patches_per_image": 1, "workers": 2,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 2, "num_feature": 32, "spn": True,
+                         "pretrained": False, "checkpoint": None,
+                         "compute_dtype": compute_dtype},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "WarmupStepLR",
+        "scheduler_kwargs": {"max_lr": 1e-3, "step_size": 100, "gamma": 0.5,
+                             "warmup_epoch": 2},
+        "train_batch_size": 16, "epochs": epochs, "resume": False,
+        "valid_batch_size": 1, "val_interval": max(epochs // 3, 1),
+        "val_start_epoch": 1,
+        "metric": {
+            "PSNR": {"package": "piq", "border": 0.05, "min": -80, "max": 929},
+            "RMSE": {"package": "local", "border": 0.05, "min": -80, "max": 929},
+        },
+        "best_metric": "RMSE", "val_border": 0.05,
+        "early_stop": {"patience": None, "monitor": "val_rmse"},
+        "verbose": False, "seed": 0,
+    })
+
+
+def main(epochs: int = 40):
+    tmp = Path(tempfile.mkdtemp(prefix="jspsr_bf16_gate_"))
+    root, train, valid = generate_mini_dfc30(
+        tmp / "DFC30_8m",
+        train_cities=("Brest", "Caen", "Calais_Dunkerque", "Clermont-Ferrand"),
+        valid_cities=("Vannes",), n_per_city=12, size=128)
+    results = {}
+    for tag, cdt in (("fp32", None), ("bf16", "bfloat16")):
+        trainer = Trainer(make_config(root, train, valid, epochs, cdt),
+                          result_dir=tmp / f"run_{tag}")
+        out = trainer.fit(initial_eval=False)
+        final = out["result"]
+        results[tag] = {"RMSE": float(final["RMSE"]),
+                        "PSNR": float(final["PSNR"]),
+                        "input_RMSE": float(final["input"]["RMSE"])
+                        if "input" in final else None}
+        print(json.dumps({"case": tag, **results[tag]}), flush=True)
+    delta = results["bf16"]["RMSE"] - results["fp32"]["RMSE"]
+    rel = delta / results["fp32"]["RMSE"]
+    verdict = "PASS" if rel < 0.05 else "FAIL"
+    print(json.dumps({"case": "gate", "rmse_delta_m": round(delta, 4),
+                      "rel": round(rel, 4), "verdict": verdict}), flush=True)
+    return 0 if verdict == "PASS" else 1
+
+
+if __name__ == "__main__":
+    epochs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
+    raise SystemExit(main(epochs))
