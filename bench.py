@@ -13,6 +13,8 @@ guidance, single chip. Prints ONE JSON line:
   >= 1.0 means the >=10x-CPU north star is met.
 - train_step_tiles_per_sec: full fwd+bwd+AdamW update throughput at the
   best measured config (scripts/bench_train_probe.py sweep).
+- train_step_bf16_tiles_per_sec: same step with the accuracy-gated
+  mixed-precision bf16 body (PERF.md; RMSE parity in the soak gate).
 """
 
 import json
@@ -71,11 +73,12 @@ def measure(batch, iters=20, warmup=3):
     return batch * iters / dt
 
 
-def measure_train(batch, remat_stages, iters=10, warmup=2):
+def measure_train(batch, remat_stages, iters=10, warmup=2, **model_kw):
     """Full train step (fwd+bwd+AdamW+BN merge), chained through TrainState."""
     from scripts.bench_train_probe import build
 
-    step, state, inputs, gt = build(batch, remat_stages=remat_stages)
+    step, state, inputs, gt = build(batch, remat_stages=remat_stages,
+                                    **model_kw)
     for _ in range(warmup):
         state, losses = step(state, inputs, gt)
     float(losses["Total"])
@@ -124,6 +127,15 @@ def main():
         except Exception as e:
             print(f"# train b{batch} failed: {e}", file=sys.stderr)
 
+    # mixed-precision bf16 body: the accuracy-gated fast training path
+    # (PERF.md "Mixed-precision bf16 body"; soak gate passed at RMSE parity)
+    train_bf16_tps = None
+    try:
+        train_bf16_tps = measure_train(16, False, compute_dtype="bfloat16")
+        print(f"# train b16 bf16: {train_bf16_tps:.1f} t/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# train bf16 failed: {e}", file=sys.stderr)
+
     try:
         cpu_tps = _cpu_baseline()
         vs = best_tps / (10.0 * cpu_tps)
@@ -139,6 +151,8 @@ def main():
         "train_step_tiles_per_sec": (round(train_tps, 1)
                                      if train_tps else None),
         "train_config": train_cfg,
+        "train_step_bf16_tiles_per_sec": (round(train_bf16_tps, 1)
+                                          if train_bf16_tps else None),
     }))
 
 

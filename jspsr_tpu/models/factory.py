@@ -31,7 +31,7 @@ def build_model(p):
             cat_only=mk.get("cat_only", True),
             generator_leaky=mk.get("generator_leaky", False),
             remat_stages=mk.get("remat_stages", False),
-            fuse_stems=mk.get("fuse_stems", True),
+            fuse_stems=mk.get("fuse_stems", False),
             compute_dtype=mk.get("compute_dtype", None),
         )
     if name == "edsr":

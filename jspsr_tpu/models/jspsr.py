@@ -59,7 +59,7 @@ class JSPSR(Module):
         cat_only: bool = True,
         generator_leaky: bool = False,
         remat_stages: bool = False,
-        fuse_stems: bool = True,
+        fuse_stems: bool = False,
         compute_dtype=None,
     ):
         super().__init__()
@@ -67,10 +67,12 @@ class JSPSR(Module):
         self.in_channels = dict(in_channels)
         self.spn = spn
         # fuse_stems: run the per-branch 5x5 stems as ONE block-diagonal conv
-        # (exact arithmetic). The separate stems have Cin 1/3/15 — an
-        # MXU-hostile contraction of 25/75/375 rows; measured 1.5 ms fwd +
-        # 7 ms in the backward at b16 (scripts/bench_grad_bisect.py). The
-        # fused conv is a single well-filled pass over the concat input.
+        # (exact arithmetic). Default OFF: measured on v5e at b16 128^2 the
+        # dense fused conv (19 in x 96 out channel pairs vs 1x32+3x32+15x32
+        # for the separate stems = 3x the MAC count) costs +9.7 ms on the
+        # eval forward and is train-neutral (scripts/bench_mixed_probe.py,
+        # PERF.md "fused stems"). Kept as an option because the tradeoff
+        # reverses on MXU generations where tiny-Cin convs pad worse.
         self.fuse_stems = fuse_stems
         # compute_dtype: mixed-precision body. bfloat16 runs the encoder/
         # decoder/generator features in bf16 (2x MXU, half the HBM traffic

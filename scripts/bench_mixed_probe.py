@@ -93,9 +93,15 @@ def run_variant(tag, **kw):
 
 
 def main():
-    run_variant("fp32_fused", fuse_stems=True)
-    run_variant("bf16_fused", fuse_stems=True, compute_dtype="bfloat16")
-    run_variant("fp32_unfused", fuse_stems=False)
+    variants = {
+        "fp32_fused": dict(fuse_stems=True),
+        "bf16_fused": dict(fuse_stems=True, compute_dtype="bfloat16"),
+        "fp32_unfused": dict(fuse_stems=False),
+        "bf16_unfused": dict(fuse_stems=False, compute_dtype="bfloat16"),
+    }
+    selected = [a for a in sys.argv[1:] if a in variants] or list(variants)
+    for tag in selected:
+        run_variant(tag, **variants[tag])
 
 
 if __name__ == "__main__":

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch, remat_stages=False, remat=False, seed=0):
+def build(batch, remat_stages=False, remat=False, seed=0, **model_kw):
     from jspsr_tpu.config.loader import AttrDict
     from jspsr_tpu.losses import build_criterion
     from jspsr_tpu.models.jspsr import JSPSR
@@ -34,7 +34,8 @@ def build(batch, remat_stages=False, remat=False, seed=0):
     from jspsr_tpu.train.step import make_train_step
 
     model = JSPSR({"lr_dem": 1, "image": 3, "mask": 15}, num_feature=32,
-                  layers=(2, 2, 2, 2), spn=True, remat_stages=remat_stages)
+                  layers=(2, 2, 2, 2), spn=True, remat_stages=remat_stages,
+                  **model_kw)
     params, bn_state = model.init(jax.random.PRNGKey(seed))
     criterion = build_criterion({"L1": 1, "L2": 1, "Grad": 0.1})
     p = AttrDict({"optimizer": "AdamW",
