@@ -90,10 +90,10 @@ def measure_train(batch, remat_stages, iters=10, warmup=2, **model_kw):
 
 
 def main():
-    # batch 64 is the measured sweet spot (PERF.md); TPU compiles through the
-    # tunnel are uncached across processes, so probe extra sizes only with
-    # --sweep
-    batches = (16, 32, 64) if "--sweep" in sys.argv else (64,)
+    # batch 16 overtook 64 as the forward sweet spot once dispatch was
+    # chain-hidden (PERF.md); probe both by default, more with --sweep.
+    # TPU compiles through the tunnel are uncached across processes.
+    batches = (16, 32, 64) if "--sweep" in sys.argv else (16, 64)
     best_tps, best_batch = 0.0, 0
     for batch in batches:
         try:
@@ -128,13 +128,18 @@ def main():
             print(f"# train b{batch} failed: {e}", file=sys.stderr)
 
     # mixed-precision bf16 body: the accuracy-gated fast training path
-    # (PERF.md "Mixed-precision bf16 body"; soak gate passed at RMSE parity)
+    # (PERF.md "Mixed-precision bf16 body"; soak gate passed at RMSE parity;
+    # b48 is the measured bf16 sweet spot, scripts/bench_bf16_sweep.py)
     train_bf16_tps = None
-    try:
-        train_bf16_tps = measure_train(16, False, compute_dtype="bfloat16")
-        print(f"# train b16 bf16: {train_bf16_tps:.1f} t/s", file=sys.stderr)
-    except Exception as e:
-        print(f"# train bf16 failed: {e}", file=sys.stderr)
+    for batch in (48, 16):
+        try:
+            train_bf16_tps = measure_train(batch, False,
+                                           compute_dtype="bfloat16")
+            print(f"# train b{batch} bf16: {train_bf16_tps:.1f} t/s",
+                  file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"# train bf16 b{batch} failed: {e}", file=sys.stderr)
 
     try:
         cpu_tps = _cpu_baseline()
