@@ -73,10 +73,12 @@ def build_optimizer(p, params=None):
 
 
 def _sgd(learning_rate, momentum, weight_decay):
+    # momentum is an injected hyperparam (a tracer under jit), so the chain
+    # structure must be static: optax.trace with decay=0 IS plain SGD
+    # (buffer = g + 0*buffer), matching torch's momentum=0 semantics.
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
-        optax.trace(decay=momentum, nesterov=False) if momentum else
-        optax.identity(),
+        optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(learning_rate),
     )
 
@@ -94,7 +96,7 @@ def _rmsprop(learning_rate, momentum, weight_decay):
     return optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_rms(decay=0.99, eps=1e-8),
-        optax.trace(decay=momentum) if momentum else optax.identity(),
+        optax.trace(decay=momentum),  # decay=0 == no momentum (static chain)
         optax.scale_by_learning_rate(learning_rate),
     )
 

@@ -13,6 +13,7 @@ over ICI (see jspsr_tpu.parallel).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from jspsr_tpu.train.state import TrainState, deep_merge
@@ -20,13 +21,22 @@ from jspsr_tpu.train.state import TrainState, deep_merge
 
 def make_train_step(model, criterion, optimizer, donate: bool = True,
                     remat: bool = False, rng_seed: int | None = None,
-                    monitor: bool = False):
+                    monitor: bool = False, accum_steps: int = 1):
     """Returns train_step(state, inputs, gt) -> (state, loss_dict).
 
     remat=True rematerializes the forward during the backward pass
     (jax.checkpoint): activation memory drops to the forward live set at the
     cost of ~one extra forward — the standard TPU trade of FLOPs (abundant)
     for HBM (the constraint). Lets the flagship train at 2x the batch.
+
+    accum_steps=N splits the batch into N microbatches inside the SAME
+    compiled step (lax.scan) and applies ONE optimizer update with the
+    mean gradient — activation memory shrinks by N while the optimizer
+    sees the full batch, so the reference's shipped batch sizes (70/50,
+    configs/*.yml) train on a single 16G chip. BatchNorm batch statistics
+    are computed per microbatch and the running-stat updates averaged —
+    the same semantic caveat as torch gradient accumulation. Batch must
+    divide by N.
 
     rng_seed: when set, a per-step PRNG key (folded with state.step) is
     passed to the model as ``rng=`` — used by stochastic layers (LRRU
@@ -44,19 +54,59 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
 
         fwd_fn = jax.checkpoint(fwd) if remat else fwd
 
-        def loss_fn(params):
+        def loss_fn(params, inputs, gt):
             pred, bn_updates = fwd_fn(params, inputs)
             losses = criterion(pred, gt)
             return losses["Total"], (losses, bn_updates, pred)
 
-        (_, (losses, bn_updates, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if accum_steps > 1:
+            b = gt.shape[0]
+            assert b % accum_steps == 0, (b, accum_steps)
+            mb = b // accum_steps
+
+            def split(x):
+                return x.reshape(accum_steps, mb, *x.shape[1:])
+
+            micro_in = [split(x) for x in inputs]
+            micro_gt = split(gt)
+
+            def body(carry, micro):
+                g_sum, l_sum, bn_sum = carry
+                m_inputs, m_gt = micro
+                (_, (losses, bn_up, pred)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, list(m_inputs), m_gt)
+                g_sum = jax.tree_util.tree_map(jax.lax.add, g_sum, grads)
+                l_sum = jax.tree_util.tree_map(jax.lax.add, l_sum, losses)
+                bn_sum = jax.tree_util.tree_map(jax.lax.add, bn_sum, bn_up)
+                return (g_sum, l_sum, bn_sum), pred
+
+            # abstract-trace one microbatch for the accumulator structure
+            init_shapes = jax.eval_shape(
+                lambda p: jax.value_and_grad(loss_fn, has_aux=True)(
+                    p, [x[0] for x in micro_in], micro_gt[0]),
+                state.params,
+            )
+            (_, (l_shape, bn_shape, _)), g_shape = init_shapes
+
+            mk_zeros = lambda sh: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), sh)
+            carry0 = (mk_zeros(g_shape), mk_zeros(l_shape),
+                      mk_zeros(bn_shape))
+            (g_sum, l_sum, bn_sum), preds = jax.lax.scan(
+                body, carry0, (tuple(micro_in), micro_gt))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+            losses = jax.tree_util.tree_map(lambda l: l * inv, l_sum)
+            bn_updates = jax.tree_util.tree_map(lambda s: s * inv, bn_sum)
+            pred = preds.reshape(b, *preds.shape[2:])
+        else:
+            (_, (losses, bn_updates, pred)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, inputs, gt)
         if monitor:
             # reference tqdm-postfix monitors (train_utils.py:241-267):
             # grad/input/pred value ranges, computed on device
-            import jax.numpy as jnp
-
             gleaves = jax.tree_util.tree_leaves(grads)
             losses = dict(losses)
             losses["grad_min"] = jnp.min(

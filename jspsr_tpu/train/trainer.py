@@ -92,11 +92,11 @@ class Trainer:
                                 jnp.zeros((), jnp.int32))
         self.lr_schedule = build_lr_schedule(p)
 
-        self.train_step = make_train_step(self.model, self.criterion,
-                                          self.optimizer,
-                                          remat=p.get("remat", False),
-                                          rng_seed=self.seed,
-                                          monitor=bool(p.get("monitor_value")))
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.optimizer,
+            remat=p.get("remat", False), rng_seed=self.seed,
+            monitor=bool(p.get("monitor_value")),
+            accum_steps=int(p.get("accum_steps") or 1))
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data

@@ -11,6 +11,7 @@ Writes results to stdout; transfer the winners into PERF.md / bench.py.
 
 import argparse
 import json
+import re
 import os
 import sys
 import time
@@ -25,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build(batch, remat_stages=False, remat=False, seed=0, **model_kw):
+def build(batch, remat_stages=False, remat=False, seed=0, accum_steps=1,
+          **model_kw):
     from jspsr_tpu.config.loader import AttrDict
     from jspsr_tpu.losses import build_criterion
     from jspsr_tpu.models.jspsr import JSPSR
@@ -45,7 +47,8 @@ def build(batch, remat_stages=False, remat=False, seed=0, **model_kw):
     optimizer = build_optimizer(p, params)
     state = TrainState(params, bn_state, optimizer.init(params),
                        jnp.zeros((), jnp.int32))
-    step = make_train_step(model, criterion, optimizer)
+    step = make_train_step(model, criterion, optimizer, remat=remat,
+                           accum_steps=accum_steps)
 
     rng = np.random.default_rng(0)
     dem = jnp.asarray(rng.uniform(0.3, 0.7, (batch, 128, 128, 1)).astype(np.float32))
@@ -56,8 +59,10 @@ def build(batch, remat_stages=False, remat=False, seed=0, **model_kw):
     return step, state, [dem, img, msk], gt
 
 
-def measure(batch, remat_stages=False, remat=False, iters=10, warmup=2):
-    step, state, inputs, gt = build(batch, remat_stages, remat)
+def measure(batch, remat_stages=False, remat=False, iters=10, warmup=2,
+            accum_steps=1, **model_kw):
+    step, state, inputs, gt = build(batch, remat_stages, remat,
+                                    accum_steps=accum_steps, **model_kw)
     t_c0 = time.perf_counter()
     for _ in range(warmup):
         state, losses = step(state, inputs, gt)
@@ -69,6 +74,7 @@ def measure(batch, remat_stages=False, remat=False, iters=10, warmup=2):
     float(losses["Total"])  # true device sync (chained through state)
     dt = time.perf_counter() - t0
     return {"batch": batch, "remat_stages": remat_stages, "remat": remat,
+            "accum_steps": accum_steps, **model_kw,
             "step_ms": round(1000 * dt / iters, 2),
             "tiles_per_sec": round(batch * iters / dt, 1),
             "compile_s": round(compile_s, 1)}
@@ -85,8 +91,12 @@ def main():
           file=sys.stderr)
     results = []
     for spec in args.configs.split(","):
-        b, mode = spec.split(":")
-        kw = {"remat_stages": mode == "stages", "remat": mode == "full"}
+        b, mode = spec.split(":", 1)
+        kw = {"remat_stages": "stages" in mode, "remat": mode == "full"}
+        if "accum" in mode:  # e.g. 70:accum5 / 70:accum5+bf16
+            kw["accum_steps"] = int(re.search(r"accum(\d+)", mode).group(1))
+        if "bf16" in mode:
+            kw["compute_dtype"] = "bfloat16"
         try:
             r = measure(int(b), iters=args.iters, **kw)
         except Exception as e:

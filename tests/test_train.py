@@ -431,3 +431,74 @@ def test_monitor_ranges_in_train_step():
               "pred_min", "pred_max"):
         assert k in losses and np.isfinite(float(losses[k]))
     assert float(losses["grad_min"]) <= float(losses["grad_max"])
+
+
+def test_accum_steps_matches_full_batch_on_duplicated_microbatches():
+    """Gradient accumulation (accum_steps=2): with the two microbatches
+    IDENTICAL, per-microbatch BN statistics equal the full-batch statistics,
+    so the accumulated update must match the plain full-batch step exactly
+    (mean-of-means == full mean for the equal-size reductions)."""
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(3)
+    # duplicate: batch = [x; x] so both microbatches are the same samples
+    inputs2 = [jnp.concatenate([x, x], axis=0) for x in inputs]
+    gt2 = jnp.concatenate([gt, gt], axis=0)
+    # SGD: the update is proportional to the gradient, so near-zero-grad
+    # coordinates stay near-zero under fp reordering. (Adam normalizes a
+    # tiny sign-flipped gradient to a full +-lr step — false mismatch.)
+    p = _p(optimizer="SGD",
+           optimizer_kwargs={"lr": 1e-3, "weight_decay": 0.0,
+                             "momentum": 0.0})
+    criterion = build_criterion({"L1": 1, "L2": 1, "Grad": 0.1})
+    opt = build_optimizer(p, params)
+
+    def run(accum):
+        state = TrainState(params, bn, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        set_learning_rate(state.opt_state, 1e-3)
+        step = make_train_step(model, criterion, opt, donate=False,
+                               accum_steps=accum)
+        state, losses = step(state, inputs2, gt2)
+        return losses, state
+
+    l0, s0 = run(1)
+    l1, s1 = run(2)
+    np.testing.assert_allclose(float(l0["Total"]), float(l1["Total"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    # BN running MEANS agree exactly; running VARs differ only by the
+    # unbiased n/(n-1) factor applied at microbatch size (4/3 vs 8/7) —
+    # the documented semantic caveat of gradient accumulation (same as
+    # torch). Bound: momentum * batch_var * (4/3 - 8/7) ~= 0.02*var.
+    np.testing.assert_allclose(
+        np.asarray(s0.bn_state["conv_img"]["bn"]["mean"]),
+        np.asarray(s1.bn_state["conv_img"]["bn"]["mean"]),
+        rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.bn_state),
+                    jax.tree_util.tree_leaves(s1.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-3)
+
+
+def test_accum_steps_trains():
+    """accum_steps=2 on a real (non-duplicated) batch: loss decreases."""
+    from jspsr_tpu.losses import build_criterion
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(4)
+    p = _p()
+    criterion = build_criterion({"L1": 1, "L2": 1})
+    opt = build_optimizer(p, params)
+    state = TrainState(params, bn, opt.init(params), jnp.zeros((), jnp.int32))
+    set_learning_rate(state.opt_state, 1e-3)
+    step = make_train_step(model, criterion, opt, donate=False, accum_steps=2)
+    first = None
+    for _ in range(6):
+        state, losses = step(state, inputs, gt)
+        if first is None:
+            first = float(losses["Total"])
+    assert float(losses["Total"]) < first
+    assert int(state.step) == 6  # one optimizer step per call, not per micro
