@@ -1,9 +1,14 @@
 """CLI entry point (reference main.py:33-44):
 
   python -m jspsr_tpu.cli.main --config configs/jspsr_r8_img.yml [--val]
+  python -m jspsr_tpu.cli.main --config c.yml --infer <scene> [--out o.tif]
 
 --val runs validation-only from model_kwargs.checkpoint (reference
-main.py:148-159).
+main.py:148-159). --infer runs full-scene inference on a raster (or a
+scene directory with one raster per modality) and writes the upscaled DEM
+in meters — the CLI form of the reference's library-only upscale_dem
+(utils/utils.py:1556-1655); --tile uses the tile-parallel feathered path
+instead of whole-scene mirror-padding.
 """
 
 from __future__ import annotations
@@ -24,6 +29,13 @@ def parse_args(argv=None):
     ap.add_argument("--val", action="store_true",
                     help="validate only (needs model_kwargs.checkpoint)")
     ap.add_argument("--result-dir", default=None)
+    ap.add_argument("--infer", default=None, metavar="SCENE",
+                    help="full-scene inference: LR-DEM raster or scene dir "
+                         "(needs model_kwargs.checkpoint)")
+    ap.add_argument("--out", default=None,
+                    help="output raster path for --infer")
+    ap.add_argument("--tile", action="store_true",
+                    help="--infer via the tile-parallel feathered mosaic")
     return ap.parse_args(argv)
 
 
@@ -36,9 +48,25 @@ def main(argv=None):
     result_dir.mkdir(parents=True, exist_ok=True)
     sys.stdout = Logger(result_dir / "train.log")
 
+    ckpt = p.model_kwargs.get("checkpoint")
+    if args.infer:
+        # scene inference needs no dataset — build only the model
+        from jspsr_tpu.eval.inference import run_scene_inference
+        from jspsr_tpu.models.factory import build_model
+        from jspsr_tpu.train.checkpoint import load_model_params
+
+        assert ckpt, "--infer requires model_kwargs.checkpoint"
+        model = build_model(p)
+        params, bn_state = load_model_params(model, ckpt,
+                                             seed=p.get("seed") or 0)
+        out = args.out or str(result_dir / "upscaled_dem.tif")
+        path, t_ms, mem = run_scene_inference(
+            model, params, bn_state, p, args.infer, out, tile=args.tile)
+        print(f"Inference: {path} ({t_ms:.1f} ms, peak {mem:.0f} MB)")
+        return path
+
     trainer = Trainer(p, result_dir=result_dir)
 
-    ckpt = p.model_kwargs.get("checkpoint")
     if args.val:
         assert ckpt, "--val requires model_kwargs.checkpoint"
         trainer.load(ckpt, resume=False)

@@ -140,3 +140,115 @@ def tile_inference(forward_fn, sample: dict, p, tile: int = 128,
 
     pred = np.asarray(forward_fn(inputs))  # (n, tile, tile, 1)
     return merge_tiles([pred[i] for i in range(n)], full_size=h)
+
+
+# ---------------------------------------------------------------------------
+# Scene loading for the CLI --infer flow (reference exposes upscale_dem as a
+# library entry only, utils/utils.py:1556-1655; here it is a first-class CLI
+# subcommand: python -m jspsr_tpu.cli.main --config c.yml --infer <scene>).
+
+_SCENE_ALIASES = {
+    "lr_dem": ("lr_dem", "COP30", "FABDEM"),
+    "image": ("image", "BDORTHO"),
+    "mask": ("mask", "UA2012"),
+    "canopy": ("canopy", "CHM"),
+}
+
+
+def _find_modality(scene_dir, names):
+    """A modality raster is <name>.<ext> or <name>/<single file>."""
+    from pathlib import Path
+
+    scene_dir = Path(scene_dir)
+    for name in names:
+        for ext in (".tif", ".tiff", ".npy"):
+            f = scene_dir / f"{name}{ext}"
+            if f.exists():
+                return f
+        sub = scene_dir / name
+        if sub.is_dir():
+            rasters = [f for f in sub.iterdir()
+                       if f.suffix in (".tif", ".tiff", ".npy")]
+            if len(rasters) == 1:
+                return rasters[0]
+    return None
+
+
+def load_scene(path, p):
+    """Assemble a raw sample dict for inference.
+
+    ``path`` is either a single LR-DEM raster (dem-only guidance must then
+    come from coord channels) or a directory holding one raster per needed
+    modality, named by modality (lr_dem/image/mask/canopy) or by the DFC30
+    subdir convention (COP30|FABDEM/BDORTHO/UA2012/CHM). Returns
+    (sample dict of HWC float arrays, geo profile of the LR DEM).
+    """
+    from pathlib import Path
+
+    from jspsr_tpu.data.raster_io import read_raster
+
+    path = Path(path)
+    need = [k for k in ("image", "mask", "canopy")
+            if (p.get("input_data") or {}).get(k)]
+    sample = {}
+    if path.is_file():
+        lr_file = path
+    else:
+        lr_file = _find_modality(path, _SCENE_ALIASES["lr_dem"])
+        assert lr_file is not None, f"no LR DEM raster found under {path}"
+    lr, profile = read_raster(lr_file, with_profile=True)
+    sample["lr_dem"] = lr.astype(np.float32)
+
+    for key in need:
+        assert path.is_dir(), (
+            f"model needs '{key}' guidance: pass a scene DIRECTORY "
+            f"containing it (got single file {path})")
+        f = _find_modality(path, _SCENE_ALIASES[key])
+        assert f is not None, f"missing '{key}' raster under {path}"
+        arr = read_raster(f).astype(np.float32)
+        if key == "image" and arr.max() > 1.5:
+            arr = arr / 255.0
+        sample[key] = arr
+
+    if (p.get("input_data") or {}).get("coord"):
+        from jspsr_tpu.data.dfc30 import DFC30
+
+        sample["coord"] = DFC30._gen_coord(
+            None, sample["lr_dem"], profile, p.get("coord_mode"))
+    return sample, profile
+
+
+def run_scene_inference(model, params, bn_state, p, scene_path, out_path,
+                        tile: bool = False):
+    """CLI --infer driver: load scene, run, descale to meters, write raster.
+
+    Returns (output path, latency ms, peak device MB)."""
+    from pathlib import Path
+
+    from jspsr_tpu.data.normalize import descale_data
+    from jspsr_tpu.data.raster_io import write_raster
+    from jspsr_tpu.train.step import make_forward
+
+    sample, profile = load_scene(scene_path, p)
+    fwd = make_forward(model)
+
+    def forward_fn(inputs):
+        return fwd(params, bn_state, inputs)
+
+    tk = p.get("tensor_kwargs") or {}
+    base = float(np.min(sample["lr_dem"])) if p.get("relative") else 0.0
+    if tile:
+        t0 = time.perf_counter_ns()
+        pred = tile_inference(forward_fn, sample, p,
+                              tile=p.get("patch_size", 128))
+        t_ms = (time.perf_counter_ns() - t0) // 1000 / 1000
+        mem = device_peak_memory_mb()
+    else:
+        pred, t_ms, mem = upscale_dem(forward_fn, sample, p)
+    arr = np.clip(np.asarray(pred), 0.0, 1.0)
+    arr = descale_data(arr, tk.get("min", -80), tk.get("max", 929),
+                       tk.get("log", False)) + base
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    write_raster(out_path, arr.astype(np.float32), dict(profile))
+    return out_path, t_ms, mem

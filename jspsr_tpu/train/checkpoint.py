@@ -117,3 +117,20 @@ def load_params_filtered(target_params, loaded_params):
         print(f"[checkpoint] skipped {len(skipped)} mismatched keys "
               f"(e.g. {skipped[:3]})")
     return unflatten_tree(merged)
+
+
+def load_model_params(model, path, seed: int = 0):
+    """(params, bn_state) for a built model from an .npz checkpoint or a
+    reference torch .pt/.pth file — the dataset-free loader used by the
+    CLI --infer flow."""
+    if str(path).endswith((".pt", ".pth")):
+        from jspsr_tpu.utils.torch_import import (
+            import_torch_state_dict, load_torch_checkpoint,
+        )
+
+        sd, _ = load_torch_checkpoint(path)
+        return import_torch_state_dict(model, sd)
+    init_p, init_bn = model.init(jax.random.PRNGKey(seed))
+    ck = load_checkpoint(path)
+    params = load_params_filtered(init_p, ck["params"])
+    return params, ck["bn_state"] or init_bn

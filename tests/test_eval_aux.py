@@ -215,3 +215,86 @@ def test_summarise_tiled_r3_protocol(tmp_path):
     assert res["n_samples"] == 2
     assert abs(res["offline"]["SR"]["RMSE"] - 0.5) < 0.05
     assert (tmp_path / "out" / "mosaics" / "scene0.npy").exists()
+
+
+def test_cli_infer_scene_dir(tmp_path):
+    """--infer end-to-end: scene directory -> upscaled GeoTIFF in meters.
+
+    Covers load_scene modality resolution (DFC30 subdir aliases),
+    load_model_params (.npz), upscale_dem padding, descale-to-meters and
+    raster write — the CLI form of reference utils/utils.py:1556-1655."""
+    from jspsr_tpu.cli.main import main as cli_main
+    from jspsr_tpu.models.jspsr import JSPSR
+    from jspsr_tpu.train.checkpoint import save_checkpoint
+    from jspsr_tpu.data.raster_io import read_raster
+    import yaml
+
+    rng = np.random.default_rng(3)
+    scene = tmp_path / "scene"
+    (scene / "COP30").mkdir(parents=True)  # DFC30-style subdir alias
+    write_raster(scene / "COP30" / "dem.npy",
+                 rng.uniform(10, 200, (96, 96, 1)).astype(np.float32))
+    write_raster(scene / "image.npy",  # flat modality-name file
+                 rng.uniform(0, 1, (96, 96, 3)).astype(np.float32))
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, bn)
+
+    cfg = {
+        "name": "infer_test", "dataset": "DFC30", "resolution": 8,
+        "model_name": "JSPSR", "relative": True,
+        "input_data": {"COP30": 1, "image": 3},
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_kwargs": {"num_block": 1, "num_feature": 8,
+                         "checkpoint": str(ckpt)},
+        "loss": {"L1": 1}, "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3},
+        "scheduler": "ConstantLR", "scheduler_kwargs": {},
+        "train_batch_size": 2, "epochs": 1, "metric": {},
+    }
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "out" / "up.npy"
+
+    import sys as _sys
+    real_stdout = _sys.stdout
+    try:
+        path = cli_main(["--config", str(cfg_path), "--infer", str(scene),
+                         "--out", str(out),
+                         "--result-dir", str(tmp_path / "res")])
+    finally:
+        _sys.stdout = real_stdout
+    arr = read_raster(path)
+    assert arr.shape == (96, 96, 1)
+    # output is in METERS (descale applied + relative base): same order of
+    # magnitude as the input DEM, not [0,1] scale space
+    assert np.isfinite(arr).all() and arr.mean() > 5.0
+
+
+def test_cli_infer_tile_path(tmp_path):
+    """--tile: tile-parallel feathered path through the CLI driver."""
+    from jspsr_tpu.eval.inference import run_scene_inference
+    from jspsr_tpu.models.jspsr import JSPSR
+    from jspsr_tpu.data.raster_io import read_raster
+
+    rng = np.random.default_rng(4)
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    write_raster(scene / "lr_dem.npy",
+                 rng.uniform(10, 200, (160, 160, 1)).astype(np.float32))
+    write_raster(scene / "image.npy",
+                 rng.uniform(0, 1, (160, 160, 3)).astype(np.float32))
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(1))
+    p = _p()
+    p["patch_size"] = 64
+    out, t_ms, _ = run_scene_inference(model, params, bn, p, scene,
+                                       tmp_path / "up.npy", tile=True)
+    arr = read_raster(out)
+    assert arr.shape == (160, 160, 1) and np.isfinite(arr).all()
