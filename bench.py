@@ -15,6 +15,7 @@ guidance, single chip. Prints ONE JSON line:
   best measured config (scripts/bench_train_probe.py sweep).
 - train_step_bf16_tiles_per_sec: same step with the accuracy-gated
   mixed-precision bf16 body (PERF.md; RMSE parity in the soak gate).
+- forward_bf16_tiles_per_sec: eval forward with the bf16 body at b16.
 """
 
 import json
@@ -43,7 +44,7 @@ def _cpu_baseline():
     return blob.get("torch_cpu_tiles_per_sec") or blob["cpu_tiles_per_sec"]
 
 
-def measure(batch, iters=20, warmup=3):
+def measure(batch, iters=20, warmup=3, **model_kw):
     """Chained measurement: each iteration's DEM input depends on the
     previous prediction, and the final sync is a scalar fetch. This defeats
     runtimes whose block_until_ready does not actually wait for device
@@ -53,7 +54,7 @@ def measure(batch, iters=20, warmup=3):
     import jax.numpy as jnp
     import __graft_entry__ as g
 
-    model, params, bn_state = g._flagship()
+    model, params, bn_state = g._flagship(**model_kw)
     dem, img, msk = g._example_inputs(batch, 128, 128)
 
     def fn(d, i, m):
@@ -127,6 +128,14 @@ def main():
         except Exception as e:
             print(f"# train b{batch} failed: {e}", file=sys.stderr)
 
+    # bf16-body forward (accuracy-gated; PERF.md mixed-precision section)
+    fwd_bf16_tps = None
+    try:
+        fwd_bf16_tps = measure(16, compute_dtype="bfloat16")
+        print(f"# fwd b16 bf16: {fwd_bf16_tps:.1f} t/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# fwd bf16 failed: {e}", file=sys.stderr)
+
     # mixed-precision bf16 body: the accuracy-gated fast training path
     # (PERF.md "Mixed-precision bf16 body"; soak gate passed at RMSE parity;
     # b48 is the measured bf16 sweet spot, scripts/bench_bf16_sweep.py)
@@ -158,6 +167,8 @@ def main():
         "train_config": train_cfg,
         "train_step_bf16_tiles_per_sec": (round(train_bf16_tps, 1)
                                           if train_bf16_tps else None),
+        "forward_bf16_tiles_per_sec": (round(fwd_bf16_tps, 1)
+                                       if fwd_bf16_tps else None),
     }))
 
 
