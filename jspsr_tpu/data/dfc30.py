@@ -222,7 +222,8 @@ class DFC30:
             sample = self.transform(sample, TransformCtx(rng, tile_idx))
         return sample
 
-    def _gen_coord(self, dem, profile, coord_mode):
+    @staticmethod
+    def _gen_coord(dem, profile, coord_mode):
         """Coordinate channels (reference dfc30.py:292-337)."""
         mode = (coord_mode or "local").lower()
         h, w = dem.shape[:2]

@@ -79,18 +79,35 @@ def device_peak_memory_mb() -> float:
         return float("nan")
 
 
+def pad_to_square_pow2(img: np.ndarray):
+    """Pad HWC to the next power-of-two SQUARE side (mirror; edge mode when
+    a pad would exceed the reflectable size). Returns (padded, (t, b, l, r))
+    so non-square scenes divide the encoder's /8 strides evenly."""
+    h, w, _ = img.shape
+    side = 1
+    while side < max(h, w):
+        side *= 2
+    dh, dw = side - h, side - w
+    pads = (dh // 2, dh - dh // 2, dw // 2, dw - dw // 2)
+    if dh == 0 and dw == 0:
+        return img, pads
+    spec = ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0))
+    mode = "reflect" if (pads[0] < h and pads[1] < h and
+                         pads[2] < w and pads[3] < w) else "edge"
+    return np.pad(img, spec, mode=mode), pads
+
+
 def upscale_dem(forward_fn, sample: dict, p):
     """Run one full scene through the model.
 
     forward_fn(inputs_list) -> NHWC prediction (pre-jitted).
     Returns (pred HWC in [0,1] scale space, latency_ms, peak_mem_mb).
     """
-    pad = cal_pad(sample["lr_dem"])
     s = dict(sample)
-    if pad > 0:
-        for k in list(s):
-            if k != "meta":
-                s[k] = add_padding(np.asarray(s[k]), pad)
+    pads = (0, 0, 0, 0)
+    for k in list(s):
+        if k != "meta":
+            s[k], pads = pad_to_square_pow2(np.asarray(s[k]))
     s = _normalize_sample(s, p)
     inputs = _model_inputs(s, p)
 
@@ -101,9 +118,8 @@ def upscale_dem(forward_fn, sample: dict, p):
     m_infer = device_peak_memory_mb()
 
     y = np.asarray(y[0])
-    if pad > 0:
-        y = remove_padding(y, pad)
-    return y, t_infer, m_infer
+    t, b, l, r = pads
+    return (y[t:y.shape[0] - b, l:y.shape[1] - r, :], t_infer, m_infer)
 
 
 def tile_inference(forward_fn, sample: dict, p, tile: int = 128,
@@ -206,15 +222,20 @@ def load_scene(path, p):
         f = _find_modality(path, _SCENE_ALIASES[key])
         assert f is not None, f"missing '{key}' raster under {path}"
         arr = read_raster(f).astype(np.float32)
-        if key == "image" and arr.max() > 1.5:
-            arr = arr / 255.0
+        if key == "image" and arr.max() <= 1.5:
+            # ToArray divides images by 255 (transforms.py ToArray, matching
+            # the reference's uint8 convention) — deliver 0-255 so a float
+            # [0,1] raster is not normalized twice
+            arr = arr * 255.0
+        if key == "mask" and p.get("mask_channel"):
+            arr = arr[:, :, list(p["mask_channel"])]  # DFC30 dfc30.py:198
         sample[key] = arr
 
     if (p.get("input_data") or {}).get("coord"):
         from jspsr_tpu.data.dfc30 import DFC30
 
         sample["coord"] = DFC30._gen_coord(
-            None, sample["lr_dem"], profile, p.get("coord_mode"))
+            sample["lr_dem"], profile, p.get("coord_mode"))
     return sample, profile
 
 

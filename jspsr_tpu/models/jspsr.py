@@ -250,7 +250,12 @@ class JSPSR(Module):
         if self.aux_key:
             stems.append(("conv_aux", "aux", aux))
 
-        if self.fuse_stems and len(stems) > 1:
+        # under per-stage remat the separate path is used so the stem convs
+        # get the run()-level jax.checkpoint (the fused helper mutates ns,
+        # which does not compose with checkpointing)
+        if self.fuse_stems and len(stems) > 1 and not (
+            self.remat_stages and train
+        ):
             feats = self._fused_stems(params, state, ns, stems, cdt, train)
         else:
             feats = {

@@ -91,11 +91,19 @@ def load_checkpoint(path, opt_state_template=None):
         if leaves:
             treedef = jax.tree_util.tree_structure(opt_state_template)
             template_leaves = jax.tree_util.tree_leaves(opt_state_template)
-            typed = [
-                jnp.asarray(a, t.dtype if hasattr(t, "dtype") else None)
-                for a, t in zip(leaves, template_leaves)
-            ]
-            opt_state = jax.tree_util.tree_unflatten(treedef, typed)
+            if len(leaves) != len(template_leaves):
+                # optimizer structure changed since the checkpoint was saved
+                # (e.g. a momentum buffer added/removed) — resume params and
+                # epoch, start the optimizer fresh rather than crashing
+                print(f"[checkpoint] opt_state leaf count mismatch "
+                      f"({len(leaves)} saved vs {len(template_leaves)} "
+                      f"expected); optimizer state NOT restored")
+            else:
+                typed = [
+                    jnp.asarray(a, t.dtype if hasattr(t, "dtype") else None)
+                    for a, t in zip(leaves, template_leaves)
+                ]
+                opt_state = jax.tree_util.tree_unflatten(treedef, typed)
     return {"params": params, "bn_state": bn, "opt_state": opt_state,
             "epoch": meta.get("epoch", 0),
             "best_result": meta.get("best_result")}

@@ -40,8 +40,10 @@ def build_optimizer(p, params=None):
     GradientTransformation with injected learning_rate."""
     kw = p.optimizer_kwargs
     lr = kw.lr
-    wd = kw.get("weight_decay", 0.0)
-    momentum = kw.get("momentum", 0.0)
+    # a YAML "momentum:" / "weight_decay:" with no value parses to None;
+    # both must reach optax as floats (momentum feeds optax.trace's decay)
+    wd = float(kw.get("weight_decay") or 0.0)
+    momentum = float(kw.get("momentum") or 0.0)
     name = p.optimizer.lower()
 
     def make(lr_value):

@@ -45,17 +45,17 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
     base_key = None if rng_seed is None else jax.random.PRNGKey(rng_seed)
 
     def train_step(state: TrainState, inputs, gt):
-        rng_kw = {}
-        if base_key is not None:
-            rng_kw["rng"] = jax.random.fold_in(base_key, state.step)
+        step_key = (None if base_key is None
+                    else jax.random.fold_in(base_key, state.step))
 
-        def fwd(params, inputs):
-            return model(params, state.bn_state, inputs, train=True, **rng_kw)
+        def fwd(params, inputs, rng):
+            kw = {} if rng is None else {"rng": rng}
+            return model(params, state.bn_state, inputs, train=True, **kw)
 
         fwd_fn = jax.checkpoint(fwd) if remat else fwd
 
-        def loss_fn(params, inputs, gt):
-            pred, bn_updates = fwd_fn(params, inputs)
+        def loss_fn(params, inputs, gt, rng=None):
+            pred, bn_updates = fwd_fn(params, inputs, rng)
             losses = criterion(pred, gt)
             return losses["Total"], (losses, bn_updates, pred)
 
@@ -69,13 +69,18 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
 
             micro_in = [split(x) for x in inputs]
             micro_gt = split(gt)
+            micro_idx = jnp.arange(accum_steps)
 
             def body(carry, micro):
                 g_sum, l_sum, bn_sum = carry
-                m_inputs, m_gt = micro
+                m_inputs, m_gt, idx = micro
+                # per-microbatch rng: each microbatch draws independent
+                # stochastic-layer masks, as the full batch would
+                rng = (None if step_key is None
+                       else jax.random.fold_in(step_key, idx))
                 (_, (losses, bn_up, pred)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, list(m_inputs), m_gt)
+                )(state.params, list(m_inputs), m_gt, rng)
                 g_sum = jax.tree_util.tree_map(jax.lax.add, g_sum, grads)
                 l_sum = jax.tree_util.tree_map(jax.lax.add, l_sum, losses)
                 bn_sum = jax.tree_util.tree_map(jax.lax.add, bn_sum, bn_up)
@@ -84,7 +89,7 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
             # abstract-trace one microbatch for the accumulator structure
             init_shapes = jax.eval_shape(
                 lambda p: jax.value_and_grad(loss_fn, has_aux=True)(
-                    p, [x[0] for x in micro_in], micro_gt[0]),
+                    p, [x[0] for x in micro_in], micro_gt[0], step_key),
                 state.params,
             )
             (_, (l_shape, bn_shape, _)), g_shape = init_shapes
@@ -94,7 +99,7 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
             carry0 = (mk_zeros(g_shape), mk_zeros(l_shape),
                       mk_zeros(bn_shape))
             (g_sum, l_sum, bn_sum), preds = jax.lax.scan(
-                body, carry0, (tuple(micro_in), micro_gt))
+                body, carry0, (tuple(micro_in), micro_gt, micro_idx))
             inv = 1.0 / accum_steps
             grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
             losses = jax.tree_util.tree_map(lambda l: l * inv, l_sum)
@@ -103,7 +108,7 @@ def make_train_step(model, criterion, optimizer, donate: bool = True,
         else:
             (_, (losses, bn_updates, pred)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, inputs, gt)
+            )(state.params, inputs, gt, step_key)
         if monitor:
             # reference tqdm-postfix monitors (train_utils.py:241-267):
             # grad/input/pred value ranges, computed on device

@@ -92,9 +92,10 @@ def main():
     results = []
     for spec in args.configs.split(","):
         b, mode = spec.split(":", 1)
-        kw = {"remat_stages": "stages" in mode, "remat": mode == "full"}
-        if "accum" in mode:  # e.g. 70:accum5 / 70:accum5+bf16
-            kw["accum_steps"] = int(re.search(r"accum(\d+)", mode).group(1))
+        kw = {"remat_stages": "stages" in mode, "remat": "full" in mode}
+        m = re.search(r"accum(\d+)", mode)  # e.g. 70:accum5 / 70:accum5+bf16
+        if m:
+            kw["accum_steps"] = int(m.group(1))
         if "bf16" in mode:
             kw["compute_dtype"] = "bfloat16"
         try:

@@ -298,3 +298,53 @@ def test_cli_infer_tile_path(tmp_path):
                                        tmp_path / "up.npy", tile=True)
     arr = read_raster(out)
     assert arr.shape == (160, 160, 1) and np.isfinite(arr).all()
+
+
+def test_load_scene_image_reaches_model_in_trained_range(tmp_path):
+    """Regression: load_scene must deliver what ToArray expects (0-255
+    images, mask_channel applied) so the normalized guidance matches the
+    training distribution — a float [0,1] image raster must NOT end up
+    ~255x too small after ToArray's /255."""
+    from jspsr_tpu.eval.inference import _normalize_sample, load_scene
+
+    rng = np.random.default_rng(5)
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    write_raster(scene / "lr_dem.npy",
+                 rng.uniform(10, 200, (64, 64, 1)).astype(np.float32))
+    write_raster(scene / "image.npy",
+                 rng.uniform(0, 1, (64, 64, 3)).astype(np.float32))
+    write_raster(scene / "mask.npy",
+                 (rng.uniform(0, 1, (64, 64, 15)) < 0.5)
+                 .astype(np.float32))
+
+    p = _p()
+    p["input_data"] = {"lr_dem": 1, "image": 3, "mask": 10}
+    p["mask_channel"] = list(range(10))
+    sample, profile = load_scene(scene, p)
+    assert sample["mask"].shape[2] == 10  # mask_channel slice (dfc30.py:198)
+    s = _normalize_sample(dict(sample), p)
+    # normalized image must be in the trained [0,1] range, not [0, 0.004]
+    assert 0.5 < s["image"].max() <= 1.0
+    # 0-255 input path normalizes identically
+    write_raster(scene / "image.npy",
+                 rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    sample2, _ = load_scene(scene, p)
+    s2 = _normalize_sample(dict(sample2), p)
+    assert 0.5 < s2["image"].max() <= 1.0
+
+
+def test_upscale_dem_non_square_scene():
+    """Non-square scenes pad to a stride-divisible square and crop back."""
+    from jspsr_tpu.eval.inference import pad_to_square_pow2
+
+    rng = np.random.default_rng(6)
+    sample = {
+        "lr_dem": rng.uniform(10, 200, (96, 100, 1)).astype(np.float32),
+        "image": rng.integers(0, 255, (96, 100, 3)).astype(np.uint8),
+    }
+    padded, pads = pad_to_square_pow2(sample["lr_dem"])
+    assert padded.shape[:2] == (128, 128) and sum(pads) == 128 - 96 + 128 - 100
+    fwd = _tiny_jspsr()
+    y, t_ms, _ = upscale_dem(fwd, sample, _p())
+    assert y.shape == (96, 100, 1) and np.isfinite(y).all()
