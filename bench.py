@@ -4,13 +4,18 @@ Protocol (BASELINE.json): 128x128 DEM tiles at x8 SR with image+mask
 guidance, single chip. Prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": R,
-   "train_step_tiles_per_sec": T, ...}
+   "points": {...}, "train_step_tiles_per_sec": T, ...}
 
-- value: eval-mode forward throughput (the headline).
+- value: best eval-mode fp32 forward throughput across the probed points
+  (the headline).
 - vs_baseline = value / (10 * torch-reference-CPU tiles/sec): the honest
   denominator is the ACTUAL PyTorch reference forward on host CPU
   (scripts/measure_cpu_baseline.py; cached in BASELINE_CPU.json).
   >= 1.0 means the >=10x-CPU north star is met.
+- points: per-point trial table — every probed (kind, batch, dtype) with
+  all trial throughputs and the spread, so chip contention or tunnel
+  drift is visible in the captured artifact instead of silently eating
+  the headline (round-2 VERDICT #1).
 - train_step_tiles_per_sec: full fwd+bwd+AdamW update throughput at the
   best measured config (scripts/bench_train_probe.py sweep).
 - train_step_bf16_tiles_per_sec: same step with the accuracy-gated
@@ -30,26 +35,23 @@ sys.path.insert(0, str(ROOT))
 # compiles through the TPU tunnel are slow (minutes); cache them persistently
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
 
-
-def _cpu_baseline():
-    path = ROOT / "BASELINE_CPU.json"
-    if not path.exists():
-        subprocess.run(
-            [sys.executable, str(ROOT / "scripts" / "measure_cpu_baseline.py")],
-            check=True,
-            timeout=1800,
-        )
-    blob = json.loads(path.read_text())
-    # torch reference CPU when measured; legacy JAX-CPU number as fallback
-    return blob.get("torch_cpu_tiles_per_sec") or blob["cpu_tiles_per_sec"]
+TRIALS = 3
 
 
-def measure(batch, iters=20, warmup=3, **model_kw):
+def _trial_stats(trials):
+    best = max(trials)
+    spread = (best - min(trials)) / best * 100 if best else 0.0
+    return {"trials": [round(t, 1) for t in trials],
+            "best": round(best, 1), "spread_pct": round(spread, 1)}
+
+
+def measure(batch, iters=20, warmup=3, trials=TRIALS, **model_kw):
     """Chained measurement: each iteration's DEM input depends on the
     previous prediction, and the final sync is a scalar fetch. This defeats
     runtimes whose block_until_ready does not actually wait for device
     completion (observed through the axon tunnel), so the number is a true
-    sequential-execution throughput."""
+    sequential-execution throughput. One compile, ``trials`` timed repeats —
+    best-of-N absorbs transient host/tunnel contention."""
     import jax
     import jax.numpy as jnp
     import __graft_entry__ as g
@@ -66,15 +68,18 @@ def measure(batch, iters=20, warmup=3, **model_kw):
     for _ in range(warmup):
         d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
     float(d[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
-    float(d[0, 0, 0, 0])  # true device sync
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
+        float(d[0, 0, 0, 0])  # true device sync
+        out.append(batch * iters / (time.perf_counter() - t0))
+    return out
 
 
-def measure_train(batch, remat_stages, iters=10, warmup=2, **model_kw):
+def measure_train(batch, remat_stages, iters=10, warmup=2, trials=TRIALS,
+                  **model_kw):
     """Full train step (fwd+bwd+AdamW+BN merge), chained through TrainState."""
     from scripts.bench_train_probe import build
 
@@ -83,72 +88,62 @@ def measure_train(batch, remat_stages, iters=10, warmup=2, **model_kw):
     for _ in range(warmup):
         state, losses = step(state, inputs, gt)
     float(losses["Total"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, losses = step(state, inputs, gt)
-    float(losses["Total"])  # chained sync
-    return batch * iters / (time.perf_counter() - t0)
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, losses = step(state, inputs, gt)
+        float(losses["Total"])  # chained sync
+        out.append(batch * iters / (time.perf_counter() - t0))
+    return out
 
 
 def main():
-    # batch 16 overtook 64 as the forward sweet spot once dispatch was
-    # chain-hidden (PERF.md); probe both by default, more with --sweep.
-    # TPU compiles through the tunnel are uncached across processes.
+    points = {}
+
+    def probe(name, fn, *args, **kw):
+        try:
+            trials = fn(*args, **kw)
+        except Exception as e:  # OOM guard at large batch
+            print(f"# {name} failed: {e}", file=sys.stderr)
+            return None
+        stats = _trial_stats(trials)
+        points[name] = stats
+        print(f"# {name}: {stats['best']} t/s "
+              f"(trials {stats['trials']}, spread {stats['spread_pct']}%)",
+              file=sys.stderr)
+        return stats["best"]
+
+    # fp32 forward: b16 is the measured sweet spot (PERF.md), b64 covers
+    # the occupancy end; --sweep adds b32.
     batches = (16, 32, 64) if "--sweep" in sys.argv else (16, 64)
     best_tps, best_batch = 0.0, 0
     for batch in batches:
-        try:
-            tps = measure(batch)
-        except Exception as e:  # OOM guard at large batch
-            print(f"# batch {batch} failed: {e}", file=sys.stderr)
-            continue
-        print(f"# batch {batch}: {tps:.1f} tiles/s", file=sys.stderr)
-        if tps > best_tps:
+        tps = probe(f"fwd_fp32_b{batch}", measure, batch)
+        if tps and tps > best_tps:
             best_tps, best_batch = tps, batch
-    if best_batch == 0 and 16 not in batches:
-        # fallback to a small batch if 64 failed (tighter-memory chip)
-        try:
-            best_tps, best_batch = measure(16), 16
-            print(f"# batch 16 (fallback): {best_tps:.1f} tiles/s",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"# fallback failed: {e}", file=sys.stderr)
 
     # train-step throughput at the best probed config (PERF.md sweep:
-    # b16 plain wins; b32 fits without remat since the fused Pallas VJP
-    # but is slightly slower)
+    # b16 plain wins; b32 fits without remat since the fused Pallas VJP)
     train_tps, train_cfg = None, None
     for batch, stages in ((16, False), (32, False)):
-        try:
-            train_tps = measure_train(batch, stages)
+        train_tps = probe(f"train_fp32_b{batch}", measure_train, batch, stages)
+        if train_tps:
             train_cfg = {"batch": batch, "remat_stages": stages}
-            print(f"# train b{batch} stages={stages}: {train_tps:.1f} t/s",
-                  file=sys.stderr)
             break
-        except Exception as e:
-            print(f"# train b{batch} failed: {e}", file=sys.stderr)
 
     # bf16-body forward (accuracy-gated; PERF.md mixed-precision section)
-    fwd_bf16_tps = None
-    try:
-        fwd_bf16_tps = measure(16, compute_dtype="bfloat16")
-        print(f"# fwd b16 bf16: {fwd_bf16_tps:.1f} t/s", file=sys.stderr)
-    except Exception as e:
-        print(f"# fwd bf16 failed: {e}", file=sys.stderr)
+    fwd_bf16_tps = probe("fwd_bf16_b16", measure, 16,
+                         compute_dtype="bfloat16")
 
     # mixed-precision bf16 body: the accuracy-gated fast training path
-    # (PERF.md "Mixed-precision bf16 body"; soak gate passed at RMSE parity;
-    # b48 is the measured bf16 sweet spot, scripts/bench_bf16_sweep.py)
+    # (PERF.md "Mixed-precision bf16 body"; b48 is the measured sweet spot)
     train_bf16_tps = None
     for batch in (48, 16):
-        try:
-            train_bf16_tps = measure_train(batch, False,
-                                           compute_dtype="bfloat16")
-            print(f"# train b{batch} bf16: {train_bf16_tps:.1f} t/s",
-                  file=sys.stderr)
+        train_bf16_tps = probe(f"train_bf16_b{batch}", measure_train, batch,
+                               False, compute_dtype="bfloat16")
+        if train_bf16_tps:
             break
-        except Exception as e:
-            print(f"# train bf16 b{batch} failed: {e}", file=sys.stderr)
 
     try:
         cpu_tps = _cpu_baseline()
@@ -162,6 +157,7 @@ def main():
         "unit": "tiles/sec/chip",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "batch": best_batch,
+        "points": points,
         "train_step_tiles_per_sec": (round(train_tps, 1)
                                      if train_tps else None),
         "train_config": train_cfg,
@@ -170,6 +166,19 @@ def main():
         "forward_bf16_tiles_per_sec": (round(fwd_bf16_tps, 1)
                                        if fwd_bf16_tps else None),
     }))
+
+
+def _cpu_baseline():
+    path = ROOT / "BASELINE_CPU.json"
+    if not path.exists():
+        subprocess.run(
+            [sys.executable, str(ROOT / "scripts" / "measure_cpu_baseline.py")],
+            check=True,
+            timeout=1800,
+        )
+    blob = json.loads(path.read_text())
+    # torch reference CPU when measured; legacy JAX-CPU number as fallback
+    return blob.get("torch_cpu_tiles_per_sec") or blob["cpu_tiles_per_sec"]
 
 
 if __name__ == "__main__":

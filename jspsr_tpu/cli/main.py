@@ -73,27 +73,18 @@ def main(argv=None):
         pred_dir = result_dir / "predictions"
         result = trainer.evaluate(compare_input=True, save_dir=pred_dir)
         print(f"Validation: {result}")
-        # offline whole-split summary vs the input product (reference
-        # --val path ends in summarise_evaluation, main.py:148-159)
+        # offline whole-split summary vs every discovered public product
+        # (reference --val path ends in summarise_evaluation, main.py:148-159;
+        # COP30/FABDEM/FATHOM auto-discovery, utils/utils.py:996-1004)
         try:
-            from jspsr_tpu.eval.summarise import summarise_evaluation
+            from jspsr_tpu.eval.summarise import summarise_run
 
-            gt_files = {sid: f for sid, f in
-                        zip(trainer.valid_set.id,
-                            trainer.valid_set.files["hr_dem"])}
             lr_files = {sid: f for sid, f in
                         zip(trainer.valid_set.id,
                             trainer.valid_set.files["lr_dem"])}
-            pred_files = {f.stem: f for f in pred_dir.iterdir()
-                          if f.suffix in (".tif", ".npy")}
-            tiles = p.get("patches_per_image") or 1
-            summary = summarise_evaluation(
-                pred_files, gt_files, {trainer.valid_set.lr_source: lr_files},
-                elev_max=p.tensor_kwargs.get("max", 929),
-                border=0.0, save_dir=result_dir, plots=True,
-                tiles_per_scene=tiles if tiles > 1 else None,
-                full_size=334 if tiles > 1 else None,
-            )
+            summary = summarise_run(p, trainer.valid_set, pred_dir,
+                                    result_dir, plots=True,
+                                    lr_files=lr_files)
             print(f"Summary (offline pooled): {summary['offline']}")
         except Exception as e:
             print(f"[summarise] skipped: {e}")

@@ -86,6 +86,13 @@ def generate_city(root, city: str, n_samples: int, size: int = 128,
         write_raster(root / city / "FABDEM" / f"{sid}_FABDEM.npy",
                      lr + rng.normal(0, 0.2, lr.shape).astype(np.float32),
                      prof(1, "float32"))
+        # FATHOM flood-model terrain: a third public product present next
+        # to the GT — never loaded as a training modality, but discovered
+        # by the offline summary (reference utils/utils.py:1001-1004)
+        write_raster(root / city / "FATHOM" / f"{sid}_FATHOM.npy",
+                     _box_blur(gt, 9) + rng.normal(0, 1.0, gt.shape)
+                     .astype(np.float32),
+                     prof(1, "float32"))
         write_raster(root / city / "BDORTHO" / f"{sid}_BDORTHO.npy",
                      img, prof(3, "uint8"))
         write_raster(root / city / "UA2012" / f"{sid}_UA2012.npy",

@@ -79,22 +79,49 @@ def device_peak_memory_mb() -> float:
         return float("nan")
 
 
+def _pad_hwc(img: np.ndarray, pads):
+    t, b, l, r = pads
+    if not any(pads):
+        return img
+    h, w, _ = img.shape
+    spec = ((t, b), (l, r), (0, 0))
+    mode = "reflect" if (t < h and b < h and l < w and r < w) else "edge"
+    return np.pad(img, spec, mode=mode)
+
+
 def pad_to_square_pow2(img: np.ndarray):
     """Pad HWC to the next power-of-two SQUARE side (mirror; edge mode when
-    a pad would exceed the reflectable size). Returns (padded, (t, b, l, r))
-    so non-square scenes divide the encoder's /8 strides evenly."""
+    a pad would exceed the reflectable size). Returns (padded, (t, b, l, r)).
+    Kept for compatibility — upscale_dem now pads to the encoder stride
+    multiple instead (a 1030x2010 scene stays ~1032x2016 rather than
+    blowing up to 2048^2 and ~2-4x the HBM)."""
     h, w, _ = img.shape
     side = 1
     while side < max(h, w):
         side *= 2
     dh, dw = side - h, side - w
     pads = (dh // 2, dh - dh // 2, dw // 2, dw - dw // 2)
-    if dh == 0 and dw == 0:
-        return img, pads
-    spec = ((pads[0], pads[1]), (pads[2], pads[3]), (0, 0))
-    mode = "reflect" if (pads[0] < h and pads[1] < h and
-                         pads[2] < w and pads[3] < w) else "edge"
-    return np.pad(img, spec, mode=mode), pads
+    return _pad_hwc(img, pads), pads
+
+
+def model_stride_multiple(p) -> int:
+    """Smallest H/W divisor the model's encoder/decoder round-trip needs
+    (stride product of the downsampling path): JSPSR/LRRU encoders are
+    s1,s2,s2,s2 (/8, models/jspsr.py:120); CompletionFormer's backbone
+    goes to dec6 (/32); EDSR never downsamples."""
+    return {"jspsr": 8, "lrru": 8, "completionformer": 32,
+            "edsr": 1}.get(p.model_name.lower(), 8)
+
+
+def pad_to_multiple(img: np.ndarray, mult: int):
+    """Pad HWC so each dim is the next multiple of ``mult`` (mirror).
+    Returns (padded, (t, b, l, r))."""
+    h, w, _ = img.shape
+    nh = -(-h // mult) * mult if mult > 1 else h
+    nw = -(-w // mult) * mult if mult > 1 else w
+    dh, dw = nh - h, nw - w
+    pads = (dh // 2, dh - dh // 2, dw // 2, dw - dw // 2)
+    return _pad_hwc(img, pads), pads
 
 
 def upscale_dem(forward_fn, sample: dict, p):
@@ -104,10 +131,13 @@ def upscale_dem(forward_fn, sample: dict, p):
     Returns (pred HWC in [0,1] scale space, latency_ms, peak_mem_mb).
     """
     s = dict(sample)
-    pads = (0, 0, 0, 0)
+    mult = model_stride_multiple(p)
+    # pads derive from the LR DEM; every modality shares its HxW
+    # (validated in load_scene), so one pad spec applies to all
+    _, pads = pad_to_multiple(np.asarray(s["lr_dem"]), mult)
     for k in list(s):
         if k != "meta":
-            s[k], pads = pad_to_square_pow2(np.asarray(s[k]))
+            s[k] = _pad_hwc(np.asarray(s[k]), pads)
     s = _normalize_sample(s, p)
     inputs = _model_inputs(s, p)
 
@@ -221,12 +251,25 @@ def load_scene(path, p):
             f"containing it (got single file {path})")
         f = _find_modality(path, _SCENE_ALIASES[key])
         assert f is not None, f"missing '{key}' raster under {path}"
-        arr = read_raster(f).astype(np.float32)
-        if key == "image" and arr.max() <= 1.5:
-            # ToArray divides images by 255 (transforms.py ToArray, matching
-            # the reference's uint8 convention) — deliver 0-255 so a float
-            # [0,1] raster is not normalized twice
-            arr = arr * 255.0
+        arr = read_raster(f)
+        if key == "image":
+            # ToArray divides images by 255 (transforms.py ToArray, the
+            # reference's uint8 convention) — deliver 0-255 here. The range
+            # is decided by DTYPE, not a value heuristic: uint8 rasters
+            # pass through; float rasters are assumed [0,1] unless the
+            # config says otherwise via ``infer_image_range: "255"``.
+            rng_mode = p.get("infer_image_range")
+            if rng_mode is None:
+                rng_mode = "255" if arr.dtype == np.uint8 else "unit"
+            arr = arr.astype(np.float32)
+            if str(rng_mode) == "unit":
+                arr = arr * 255.0
+        else:
+            arr = arr.astype(np.float32)
+        assert arr.shape[:2] == sample["lr_dem"].shape[:2], (
+            f"'{key}' raster {f} is {arr.shape[:2]} but the LR DEM is "
+            f"{sample['lr_dem'].shape[:2]} — all modalities must share the "
+            f"LR DEM's grid (resample the raster first)")
         if key == "mask" and p.get("mask_channel"):
             arr = arr[:, :, list(p["mask_channel"])]  # DFC30 dfc30.py:198
         sample[key] = arr

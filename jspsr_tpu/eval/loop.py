@@ -18,7 +18,7 @@ from jspsr_tpu.data.loader import build_batch_inputs
 from jspsr_tpu.data.normalize import descale_data
 from jspsr_tpu.data.raster_io import HAS_RASTERIO, write_raster
 from jspsr_tpu.metrics.meters import PerformanceMeter
-from jspsr_tpu.parallel.mesh import pad_batch_to
+from jspsr_tpu.parallel.mesh import pad_batch_to, shard_batch
 from jspsr_tpu.train.early_stop import AverageMeter
 
 
@@ -60,9 +60,17 @@ def eval_model(
     save_dir=None,
     visual_dir=None,
     verbose: bool = False,
+    mesh=None,
 ):
     """Returns dict with loss, metric scores, and optional input-baseline
-    scores. eval_step: jitted (params, bn_state, inputs, gt) -> (pred, losses)."""
+    scores. eval_step: jitted (params, bn_state, inputs, gt) -> (pred, losses).
+
+    ``mesh``: optional device mesh — batches are placed batch-sharded over
+    its 'data' axis so the batched fast path runs data-parallel on every
+    chip (requires valid_batch_size divisible by the mesh size; the padded
+    remainder batch keeps the same compiled shape). Metric semantics are
+    unchanged: meters reduce per sample on device, so sharded scores equal
+    single-device scores (verified in tests/test_parallel.py)."""
     meter = PerformanceMeter({k: dict(v) for k, v in p.metric.items()})
     meter_in = (
         PerformanceMeter({k: dict(v) for k, v in p.metric.items()})
@@ -81,6 +89,8 @@ def eval_model(
     # (one XLA program regardless of dataset size) and padded samples are
     # dropped via n_valid.
     batch_cfg = int(p.get("valid_batch_size", 1) or 1)
+    if mesh is not None and batch_cfg % mesh.devices.size != 0:
+        mesh = None  # batch not divisible across chips -> single-device
     sample_idx = 0
     for batch in loader:
         inputs_np, gt_np, base_elev, meta = build_batch_inputs(
@@ -93,8 +103,12 @@ def eval_model(
             gt_np, _ = pad_batch_to(gt_np, batch_cfg)
             if lr_dem_np is not None:
                 lr_dem_np, _ = pad_batch_to(lr_dem_np, batch_cfg)
-        inputs = [jnp.asarray(x) for x in inputs_np]
-        gt = jnp.asarray(gt_np)
+        if mesh is not None:
+            inputs = shard_batch(mesh, [np.asarray(x) for x in inputs_np])
+            gt = shard_batch(mesh, np.asarray(gt_np))
+        else:
+            inputs = [jnp.asarray(x) for x in inputs_np]
+            gt = jnp.asarray(gt_np)
         pred, losses = eval_step(params, bn_state, inputs, gt)
         if losses:
             # per-sample totals: exact under padding AND under
@@ -106,7 +120,8 @@ def eval_model(
                 loss_meter.update(losses["Total"], n_real)
         meter.update(pred, gt, meta, base_elev, elev_log, n_valid=n_real)
         if meter_in is not None:
-            lr_dem = jnp.asarray(lr_dem_np)
+            lr_dem = (shard_batch(mesh, lr_dem_np) if mesh is not None
+                      else jnp.asarray(lr_dem_np))
             if lr_dem.shape[1:3] != gt.shape[1:3]:
                 lr_dem = nn.bicubic_resize(lr_dem, gt.shape[1], gt.shape[2])
             meter_in.update(lr_dem, gt, meta, base_elev, elev_log,

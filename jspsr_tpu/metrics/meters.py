@@ -390,4 +390,15 @@ class PerformanceMeter:
             m.update(pred, gt, meta, base_elev, elev_log, n_valid=n_valid)
 
     def get_score(self, verbose: bool = False):
-        return {name: m.get_score() for name, m in self.meters.items()}
+        """verbose=True forces each meter's per-score line (the reference's
+        per-meter table printed every eval, evaluate_utils.py:346-350) even
+        when the meter's own config did not set verbose."""
+        out = {}
+        for name, m in self.meters.items():
+            saved = m.verbose
+            m.verbose = saved or verbose
+            try:
+                out[name] = m.get_score()
+            finally:
+                m.verbose = saved
+        return out

@@ -209,8 +209,13 @@ class JSPSR(Module):
             sl = y[..., i * nf:(i + 1) * nf]
             mod = getattr(self, name)
             if mod.bn is not None:
-                sl, s = mod.bn(params[name]["bn"], state[name]["bn"], sl,
-                               train=train)
+                # tolerate partially-missing bn_state (shape-filtered load)
+                # like the separate-stems path: fall back to init stats
+                bn_s = state.get(name, {}).get("bn") or {
+                    "mean": jnp.zeros((nf,), jnp.float32),
+                    "var": jnp.ones((nf,), jnp.float32),
+                }
+                sl, s = mod.bn(params[name]["bn"], bn_s, sl, train=train)
                 if s:
                     ns[name] = {"bn": s}
             feats[key] = jnp.maximum(sl, 0)

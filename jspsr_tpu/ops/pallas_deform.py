@@ -49,12 +49,33 @@ from jspsr_tpu.ops import deform_conv as _dc
 
 _F32 = jnp.float32
 
+# Per-program VMEM budget. TPU VMEM is ~16 MB/core; 10 MB leaves headroom
+# for the compiler's own buffers. The dominant live tensors scale with
+# P = bh*W: the (H, P) tent/one-hot weights and (W, P) partials, plus the
+# whole (H, W) image block — at 128^2 tiles everything fits at bh=8, while
+# whole-scene inputs (the --infer path pads e.g. 1030^2 -> /8 multiples)
+# must shrink bh or fall back to the XLA one-hot path.
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
-def _pick_block(h: int, target: int = 8) -> int:
+
+def _vmem_estimate(h: int, w: int, bh: int) -> int:
+    """Conservative fp32 byte estimate of a program's live VMEM set
+    (covers the heavier backward kernel: image + dx accumulator (H,W),
+    row iota/one-hots/tent (~4x (H,P)), col iota/wx/tmp/tdy (~4x (W,P)),
+    and the 4 (K,P) position/mask/output blocks)."""
+    p = bh * w
+    k = 9
+    return 4 * (2 * h * w + 4 * h * p + 4 * w * p + 4 * k * p)
+
+
+def _pick_block(h: int, w: int | None = None, target: int = 8) -> int | None:
+    """Largest row-block <= target dividing h whose VMEM estimate fits the
+    budget; None when even bh=1 cannot fit (caller falls back to XLA)."""
     for b in range(min(target, h), 0, -1):
-        if h % b == 0:
+        if h % b == 0 and (w is None or
+                           _vmem_estimate(h, w, b) <= _VMEM_BUDGET_BYTES):
             return b
-    return 1
+    return None if w is not None else 1
 
 
 def _prep_layout(x, offset, mask, padding: int, bh: int | None):
@@ -64,7 +85,12 @@ def _prep_layout(x, offset, mask, padding: int, bh: int | None):
     k = kh * kw
     _, ho, wo, ck = offset.shape
     assert cin == 1 and (ho, wo) == (h, w) and ck == 2 * k
-    bh = bh or _pick_block(h)
+    if bh is None:
+        bh = _pick_block(h, w)
+        assert bh is not None, (
+            f"deform shape H={h}, W={w} exceeds the Pallas VMEM budget even "
+            f"at bh=1 — pallas_case_supported should have routed this to "
+            f"the XLA path")
     nb = h // bh
     p = bh * w
 
@@ -299,8 +325,12 @@ deform_conv2d_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_case_supported(x, offset, weight, stride, padding, dilation) -> bool:
     """The fused kernel covers the framework's hot case: 1-channel in/out,
-    3x3 kernel, stride 1, unit dilation, offsets on the input grid."""
+    3x3 kernel, stride 1, unit dilation, offsets on the input grid — AND
+    shapes whose per-program working set fits the VMEM budget (whole-scene
+    ``--infer`` inputs beyond ~512^2 fall back to the XLA one-hot path
+    instead of overflowing VMEM)."""
     kh, kw, cin, cout = weight.shape
     return (cin == 1 and cout == 1 and kh == 3 and kw == 3
             and stride in (1, (1, 1)) and dilation in (1, (1, 1))
-            and offset.shape[1:3] == x.shape[1:3])
+            and offset.shape[1:3] == x.shape[1:3]
+            and _pick_block(x.shape[1], x.shape[2]) is not None)

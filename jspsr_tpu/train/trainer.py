@@ -228,6 +228,7 @@ class Trainer:
             self.state.params, self.state.bn_state, self.criterion,
             compare_input=compare_input, save_dir=save_dir,
             visual_dir=visual_dir, verbose=self.verbose,
+            mesh=self.mesh if self.mesh.devices.size > 1 else None,
         )
 
     # ------------------------------------------------------------------
@@ -273,8 +274,12 @@ class Trainer:
         return self.finish()
 
     def finish(self):
-        """Rename best checkpoint with metrics embedded in the filename
-        (reference main.py:275-292), reload it, final eval."""
+        """Post-training finale (reference main.py:275-311): rename the best
+        checkpoint with metrics embedded in the filename, reload it, run a
+        final eval that SAVES the predictions (save_prediction=True,
+        compair_input=False — the reference passes False here), then the
+        whole-split offline summary against every discovered public product
+        (summarise=True)."""
         p = self.p
         tmp = self._ckpt_path()
         final_path = tmp
@@ -290,12 +295,22 @@ class Trainer:
             final_path = self.result_dir / ("_".join(parts) + ".npz")
             tmp.replace(final_path)
             self.load(final_path, resume=False)
-        result = self.evaluate(
-            compare_input=True,
-            save_dir=(self.result_dir / "predictions"
-                      if p.get("val_save_visual") else None),
-        )
+        pred_dir = self.result_dir / "predictions"
+        result = self.evaluate(compare_input=False, save_dir=pred_dir)
         if self.verbose:
             print(f"Final eval: { {k: v for k, v in result.items() if k != 'input'} }")
+        summary = None
+        try:
+            from jspsr_tpu.eval.summarise import summarise_run
+
+            lr_files = {sid: f for sid, f in
+                        zip(self.valid_set.id, self.valid_set.files["lr_dem"])}
+            summary = summarise_run(p, self.valid_set, pred_dir,
+                                    self.result_dir, plots=True,
+                                    lr_files=lr_files)
+            if self.verbose:
+                print(f"Offline summary: {summary['offline']}")
+        except Exception as e:
+            print(f"[summarise] skipped: {e}")
         return {"checkpoint": str(final_path), "result": result,
-                "best_result": self.best_result}
+                "best_result": self.best_result, "summary": summary}

@@ -26,6 +26,41 @@ from __future__ import annotations
 from pathlib import Path
 
 
+def resolve_pretrained_path(spec, cache_dir=None) -> str:
+    """Accept a local file path OR a URL for a pretrained checkpoint.
+
+    The reference downloads EDSR weights through torch.hub when the path is
+    a URL (utils/utils.py:338-349 ``load_state_dict_from_url``). Here URLs
+    (http/https/file) are fetched once into ``cache_dir`` (default
+    ``~/.cache/jspsr_tpu/pretrained``, override via
+    ``model_kwargs.pretrained_cache``) and reused on later runs; local
+    paths pass through untouched.
+    """
+    spec = str(spec)
+    if "://" not in spec:
+        return spec
+    import hashlib
+    import urllib.parse
+    import urllib.request
+
+    cache_dir = Path(cache_dir or
+                     Path.home() / ".cache" / "jspsr_tpu" / "pretrained")
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    name = Path(urllib.parse.urlparse(spec).path).name or "checkpoint"
+    dest = cache_dir / f"{hashlib.sha256(spec.encode()).hexdigest()[:12]}_{name}"
+    if not dest.exists():
+        tmp = dest.with_suffix(dest.suffix + ".part")
+        try:
+            urllib.request.urlretrieve(spec, tmp)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"could not fetch pretrained checkpoint {spec}: {e} "
+                f"(no-egress environments must place the file at {dest} "
+                f"or pass a local path)") from e
+        tmp.replace(dest)
+    return str(dest)
+
+
 def _load_torch_file(path):
     import torch
 
@@ -59,6 +94,7 @@ def apply_pretrained(p, model, params, bn_state, verbose: bool = False):
             f"model_kwargs.pretrained=True but {p.model_name} has no default "
             f"pretrained path; pass the file path instead"
         )
+        path = resolve_pretrained_path(path, mk.get("pretrained_cache"))
         if not Path(path).is_file():
             raise FileNotFoundError(
                 f"pretrained checkpoint {path} not found (the reference "
@@ -73,6 +109,7 @@ def apply_pretrained(p, model, params, bn_state, verbose: bool = False):
 
     pvt_pre = mk.get("pvt_pretrained")
     if pvt_pre:
+        pvt_pre = resolve_pretrained_path(pvt_pre, mk.get("pretrained_cache"))
         former = model.backbone.former  # CompletionFormer layout
         new_p, new_s = import_torch_state_dict(
             former, _load_torch_file(pvt_pre), missing_ok=True)
@@ -90,6 +127,7 @@ def apply_pretrained(p, model, params, bn_state, verbose: bool = False):
 
     rn_pre = mk.get("resnet_pretrained")
     if rn_pre:
+        rn_pre = resolve_pretrained_path(rn_pre, mk.get("pretrained_cache"))
         sd = {k: v for k, v in _load_torch_file(rn_pre).items()}
         former = model.backbone.former
         params = dict(params)

@@ -1,0 +1,125 @@
+"""TPU probe: END-TO-END Trainer throughput vs the resident-data step bench
+(round-2 VERDICT #4).
+
+Every prior perf number is a synthetic chained step on resident device
+arrays; this runs the REAL pipeline — DataLoader threads decoding synthetic
+DFC30 tiles -> build_batch_inputs -> shard_batch device_put -> jitted train
+step — and reports the epoch tiles/s next to the same-process resident-data
+step throughput. A ratio >= 0.9 means the host feed costs < 10%.
+
+Both measurements run in ONE process (tunnel compiles are not shared across
+processes; cross-process comparisons drift ~10%).
+
+Usage: python scripts/bench_trainer_e2e.py [--batch 48] [--dtype bfloat16]
+       [--epochs 3] [--scenes 48]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--scenes", type=int, default=48, help="tiles per city")
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--step-iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+    from jspsr_tpu.train.trainer import Trainer
+
+    data_root = Path(os.environ.get("BENCH_DATA", "/tmp/bench_e2e")) / "DFC30_8m"
+    if not data_root.exists():
+        t0 = time.perf_counter()
+        generate_mini_dfc30(data_root, train_cities=("Brest",),
+                            valid_cities=("Vannes",),
+                            n_per_city=args.scenes, size=128)
+        print(f"# fixture: {args.scenes} scenes/city in "
+              f"{time.perf_counter() - t0:.1f}s")
+
+    p = AttrDict({
+        "name": "bench_e2e", "verbose": False, "dataset": "DFC30",
+        "dataset_path": str(data_root), "resolution": 8,
+        "train_set": ["Brest"], "valid_set": ["Vannes"],
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 10},
+        "mask_channel": list(range(10)),
+        "relative": True, "augment": True, "patch_size": 128,
+        "crop_mode": "random", "patches_per_image": 1,
+        "workers": args.workers, "preload": True,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 2, "num_feature": 32, "spn": True,
+                         "compute_dtype": args.dtype,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "ConstantLR", "scheduler_kwargs": {},
+        "train_batch_size": args.batch, "epochs": args.epochs,
+        "resume": False, "valid_batch_size": 1,
+        "val_interval": 10**9, "val_start_epoch": 10**9,
+        "metric": {"RMSE": {"package": "local", "min": -80, "max": 929}},
+        "best_metric": "RMSE", "early_stop": {},
+        "seed": 0,
+    })
+    # model channels expect 15 mask ch in the flagship shape; the synthetic
+    # mask has 15, mask_channel selects 10 like the shipped r8 img+msk cfg
+    trainer = Trainer(p, result_dir="/tmp/bench_e2e/run")
+
+    # epoch 0 pays the compile; time the rest
+    tps_epochs = []
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        trainer.train_one_epoch(epoch)
+        dt = time.perf_counter() - t0
+        n = len(trainer.train_loader) * args.batch
+        tps = trainer.last_throughput
+        tps_epochs.append(tps)
+        print(f"# epoch {epoch}: {dt:.2f}s, {tps:.1f} tiles/s "
+              f"({n} tiles)")
+    e2e_tps = max(tps_epochs[1:]) if len(tps_epochs) > 1 else tps_epochs[0]
+
+    # same-process resident-data step bench at the identical config
+    from scripts.bench_train_probe import build
+
+    step, state, inputs, gt = build(args.batch,
+                                    compute_dtype=args.dtype)
+    for _ in range(2):
+        state, losses = step(state, inputs, gt)
+    float(losses["Total"])
+    t0 = time.perf_counter()
+    for _ in range(args.step_iters):
+        state, losses = step(state, inputs, gt)
+    float(losses["Total"])
+    step_tps = args.batch * args.step_iters / (time.perf_counter() - t0)
+
+    ratio = e2e_tps / step_tps
+    print(json.dumps({
+        "e2e_trainer_tiles_per_sec": round(e2e_tps, 1),
+        "resident_step_tiles_per_sec": round(step_tps, 1),
+        "ratio": round(ratio, 3),
+        "batch": args.batch, "dtype": args.dtype,
+        "epoch_tps": [round(t, 1) for t in tps_epochs],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,12 @@ final validation RMSE in meters. Round 1 rejected ALL-bf16 inference
 mixed scheme keeps the DEM path and deformable sampling in fp32, so the
 expectation is parity. This script is the evidence.
 
-Usage: python scripts/soak_bf16_compare.py [epochs] [--cpu]
+Usage: python scripts/soak_bf16_compare.py [epochs] [--cpu] [--r3]
+
+--r3 runs the gate under the reference's r3 tiled protocol instead (334^2
+scenes -> 9 overlapping 128^2 TileCrops, mosaic-merged offline summary):
+the PASS requires bf16 RMSE parity AND the SR mosaics beating the COP30
+input product in the pooled offline view (round-2 VERDICT #7).
 """
 
 import json
@@ -30,14 +35,15 @@ from jspsr_tpu.data.synthetic import generate_mini_dfc30
 from jspsr_tpu.train.trainer import Trainer
 
 
-def make_config(root, train, valid, epochs, compute_dtype):
+def make_config(root, train, valid, epochs, compute_dtype, r3=False):
     return AttrDict({
         "name": f"bf16_gate_{compute_dtype or 'fp32'}", "dataset": "DFC30",
-        "dataset_path": str(root), "resolution": 8,
+        "dataset_path": str(root), "resolution": 3 if r3 else 8,
         "train_set": train, "valid_set": valid,
         "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 15},
         "relative": True, "augment": True, "patch_size": 128,
-        "crop_mode": "random", "patches_per_image": 1, "workers": 2,
+        "crop_mode": "tile" if r3 else "random",
+        "patches_per_image": 9 if r3 else 1, "workers": 2,
         "tensor_kwargs": {"log": True, "min": -80, "max": 929,
                           "scale_mask": True},
         "model_name": "JSPSR",
@@ -64,15 +70,24 @@ def make_config(root, train, valid, epochs, compute_dtype):
     })
 
 
-def main(epochs: int = 40):
+def main(epochs: int = 40, r3: bool = False):
     tmp = Path(tempfile.mkdtemp(prefix="jspsr_bf16_gate_"))
-    root, train, valid = generate_mini_dfc30(
-        tmp / "DFC30_8m",
-        train_cities=("Brest", "Caen", "Calais_Dunkerque", "Clermont-Ferrand"),
-        valid_cities=("Vannes",), n_per_city=12, size=128)
+    if r3:
+        # r3 tiled protocol: 334^2 scenes, 9 TileCrops each, mosaic summary
+        root, train, valid = generate_mini_dfc30(
+            tmp / "DFC30_3m",
+            train_cities=("Brest", "Caen"), valid_cities=("Vannes",),
+            n_per_city=4, size=334, resolution=3)
+    else:
+        root, train, valid = generate_mini_dfc30(
+            tmp / "DFC30_8m",
+            train_cities=("Brest", "Caen", "Calais_Dunkerque",
+                          "Clermont-Ferrand"),
+            valid_cities=("Vannes",), n_per_city=12, size=128)
     results = {}
     for tag, cdt in (("fp32", None), ("bf16", "bfloat16")):
-        trainer = Trainer(make_config(root, train, valid, epochs, cdt),
+        trainer = Trainer(make_config(root, train, valid, epochs, cdt,
+                                      r3=r3),
                           result_dir=tmp / f"run_{tag}")
         out = trainer.fit(initial_eval=False)
         final = out["result"]
@@ -80,15 +95,32 @@ def main(epochs: int = 40):
                         "PSNR": float(final["PSNR"]),
                         "input_RMSE": float(final["input"]["RMSE"])
                         if "input" in final else None}
+        if out.get("summary"):
+            off = out["summary"]["offline"]
+            results[tag]["offline"] = {
+                name: round(stats["RMSE"], 4)
+                for name, stats in off.items() if stats
+            }
         print(json.dumps({"case": tag, **results[tag]}), flush=True)
     delta = results["bf16"]["RMSE"] - results["fp32"]["RMSE"]
     rel = delta / results["fp32"]["RMSE"]
-    verdict = "PASS" if rel < 0.05 else "FAIL"
+    checks = [rel < 0.05]
+    extra = {}
+    if r3:
+        # mosaic-level requirement: SR beats the COP30 input product in the
+        # pooled offline view, in BOTH precisions
+        for tag in ("fp32", "bf16"):
+            off = results[tag].get("offline") or {}
+            sr, cop = off.get("SR"), off.get("COP30")
+            extra[f"{tag}_sr_vs_cop30"] = (sr, cop)
+            checks.append(sr is not None and cop is not None and sr < cop)
+    verdict = "PASS" if all(checks) else "FAIL"
     print(json.dumps({"case": "gate", "rmse_delta_m": round(delta, 4),
-                      "rel": round(rel, 4), "verdict": verdict}), flush=True)
+                      "rel": round(rel, 4), **extra, "verdict": verdict}),
+          flush=True)
     return 0 if verdict == "PASS" else 1
 
 
 if __name__ == "__main__":
     epochs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
-    raise SystemExit(main(epochs))
+    raise SystemExit(main(epochs, r3="--r3" in sys.argv))

@@ -335,8 +335,10 @@ def test_load_scene_image_reaches_model_in_trained_range(tmp_path):
 
 
 def test_upscale_dem_non_square_scene():
-    """Non-square scenes pad to a stride-divisible square and crop back."""
-    from jspsr_tpu.eval.inference import pad_to_square_pow2
+    """Non-square scenes pad each dim to the encoder stride multiple (not
+    the old power-of-two square — a 96x100 scene runs at 96x104, not
+    128x128) and crop back exactly."""
+    from jspsr_tpu.eval.inference import pad_to_multiple, pad_to_square_pow2
 
     rng = np.random.default_rng(6)
     sample = {
@@ -345,6 +347,41 @@ def test_upscale_dem_non_square_scene():
     }
     padded, pads = pad_to_square_pow2(sample["lr_dem"])
     assert padded.shape[:2] == (128, 128) and sum(pads) == 128 - 96 + 128 - 100
+    padded8, pads8 = pad_to_multiple(sample["lr_dem"], 8)
+    assert padded8.shape[:2] == (96, 104) and sum(pads8) == 4
     fwd = _tiny_jspsr()
     y, t_ms, _ = upscale_dem(fwd, sample, _p())
     assert y.shape == (96, 100, 1) and np.isfinite(y).all()
+
+
+def test_infer_large_scene_512(tmp_path):
+    """Whole-scene --infer at 512^2 (round-2 VERDICT #8): the scene pads to
+    the stride multiple (512 is already /8), runs the full-resolution
+    forward, and the deformable dispatch routes AWAY from the Pallas kernel
+    (VMEM guard) — no silent overflow path at scene sizes."""
+    from jspsr_tpu.eval.inference import run_scene_inference
+    from jspsr_tpu.models.jspsr import JSPSR
+    from jspsr_tpu.data.raster_io import read_raster
+    from jspsr_tpu.ops.pallas_deform import pallas_case_supported
+
+    # the guard itself: 512^2 single-channel deform is not Pallas-eligible
+    x = np.zeros((1, 512, 512, 1), np.float32)
+    off = np.zeros((1, 512, 512, 18), np.float32)
+    wgt = np.zeros((3, 3, 1, 1), np.float32)
+    assert not pallas_case_supported(x, off, wgt, 1, 1, 1)
+
+    rng = np.random.default_rng(9)
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    write_raster(scene / "lr_dem.npy",
+                 rng.uniform(10, 200, (512, 512, 1)).astype(np.float32))
+    write_raster(scene / "image.npy",
+                 rng.integers(0, 255, (512, 512, 3)).astype(np.uint8))
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(2))
+    out, t_ms, _ = run_scene_inference(model, params, bn, _p(), scene,
+                                       tmp_path / "up.npy", tile=False)
+    arr = read_raster(out)
+    assert arr.shape == (512, 512, 1) and np.isfinite(arr).all()

@@ -68,3 +68,29 @@ def test_batched_eval_matches_bs1(env, tmp_path, batch):
         np.testing.assert_allclose(rb[k], r1[k], rtol=3e-4, err_msg=k)
     for k, v in r1["input"].items():
         np.testing.assert_allclose(rb["input"][k], v, rtol=3e-4, err_msg=k)
+
+
+def test_mesh_sharded_eval_matches_single_device(env, tmp_path):
+    """The batched eval fast path runs batch-sharded over the full 8-device
+    virtual mesh (eval/loop.py mesh=...) with scores equal to the
+    single-device path — the multi-chip eval wiring from round-2 VERDICT #5."""
+    import jax
+    from jspsr_tpu.eval.loop import eval_model
+    from jspsr_tpu.parallel.mesh import make_mesh
+
+    pb = AttrDict(dict(env))
+    pb["valid_batch_size"] = 8  # 5 samples -> one padded batch of 8
+    t = Trainer(pb, result_dir=tmp_path / "mesh")
+    kw = dict(criterion=t.criterion, compare_input=True)
+    r_single = eval_model(pb, t.valid_loader, t.eval_step, t.state.params,
+                          t.state.bn_state, mesh=None, **kw)
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    r_mesh = eval_model(pb, t.valid_loader, t.eval_step, t.state.params,
+                        t.state.bn_state, mesh=mesh, **kw)
+    for k in ("loss", "PSNR", "SSIM", "RMSE", "Median", "LE95"):
+        np.testing.assert_allclose(r_mesh[k], r_single[k], rtol=3e-4,
+                                   err_msg=k)
+    for k, v in r_single["input"].items():
+        np.testing.assert_allclose(r_mesh["input"][k], v, rtol=3e-4,
+                                   err_msg=k)

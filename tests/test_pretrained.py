@@ -204,3 +204,45 @@ def _shape_for_generic(params, torch_key):
     if name == "w" and len(shp) == 4:
         return (shp[3], shp[2], shp[0], shp[1])  # HWIO -> OIHW
     return shp
+
+
+def test_pretrained_url_fetch_and_cache(tmp_path):
+    """URL checkpoints (reference EDSR.py:87 + utils/utils.py:338-349
+    load_state_dict_from_url) resolve through a local cache: a file:// URL
+    is fetched once into pretrained_cache, reused on the second call, and
+    produces the same forward as the direct-path load."""
+    from jspsr_tpu.utils.pretrained import resolve_pretrained_path
+
+    torch.manual_seed(7)
+    tmodel = ref_edsr(in_channels=4, out_channels=1, n_resblocks=2,
+                      n_features=8, scale=1, res_scale=0.1, spn=False)
+    tmodel.eval()
+    src = tmp_path / "edsr_public.pt"
+    torch.save(_rename_foreign(tmodel.state_dict()), src)
+    cache = tmp_path / "cache"
+    url = src.as_uri()  # file://...
+
+    resolved = resolve_pretrained_path(url, cache)
+    assert resolved != str(src) and cache in list(
+        __import__("pathlib").Path(resolved).parents)
+    # second resolve hits the cache (delete the source to prove it)
+    src.unlink()
+    assert resolve_pretrained_path(url, cache) == resolved
+
+    model = EDSR(in_channels=4, out_channels=1, n_resblocks=2, n_features=8,
+                 scale=1, res_scale=0.1, spn=False)
+    params, state = model.init(jax.random.PRNGKey(0))
+    p = AttrDict({"model_name": "EDSR",
+                  "model_kwargs": {"pretrained": url,
+                                   "pretrained_cache": str(cache)}})
+    params, state = apply_pretrained(p, model, params, state)
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 1, size=(1, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    y, _ = model(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                 train=False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), want, rtol=1e-4, atol=2e-5)
+    # local paths pass through untouched
+    assert resolve_pretrained_path("/some/local/file.pt") == "/some/local/file.pt"

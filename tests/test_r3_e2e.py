@@ -57,4 +57,14 @@ def test_r3_tiled_cli_end_to_end(tmp_path):
     assert len(preds) == 9  # 1 valid scene x 9 tiles
     mosaics = list((tmp_path / "val" / "mosaics").glob("*.npy"))
     assert len(mosaics) == 1
-    assert (tmp_path / "val" / "summary.json").exists()
+    # offline summary discovered every public product next to the GT
+    # (reference utils/utils.py:996-1004) and wrote the tabular + plot
+    # outputs (utils/utils.py:1371-1490)
+    import json
+
+    summary = json.loads((tmp_path / "val" / "summary.json").read_text())
+    for prod in ("SR", "COP30", "FABDEM", "FATHOM"):
+        assert np.isfinite(summary["offline"][prod]["RMSE"]), prod
+    csv_text = (tmp_path / "val" / "summary.csv").read_text()
+    assert "FATHOM" in csv_text and "offline" in csv_text
+    assert (tmp_path / "val" / "final_dist.png").exists()

@@ -53,16 +53,37 @@ def test_fit_end_to_end(env, tmp_path):
     assert out["best_result"] is not None
     assert "RMSE" in out["best_result"]
     assert np.isfinite(out["result"]["RMSE"])
-    # bicubic-input baseline was computed
-    assert "input" in out["result"] and "RMSE" in out["result"]["input"]
+    # the final eval follows the reference (main.py:294-311):
+    # compair_input=False — no bicubic baseline in the final result dict
+    assert "input" not in out["result"]
     # metrics-bearing checkpoint name (reference main.py:275-292)
     assert "RMSE" in out["checkpoint"] and out["checkpoint"].endswith(".npz")
 
-    # validate-only reload path
+    # post-training finale saved predictions + the whole-split offline
+    # summary on the reloaded best checkpoint (reference save_prediction=
+    # True, summarise=True)
+    run = tmp_path / "run"
+    assert list((run / "predictions").iterdir())
+    assert (run / "summary.json").exists()
+    assert (run / "summary.csv").exists()
+    assert out["summary"] is not None
+    # product auto-discovery found every public DEM next to the GT
+    for prod in ("SR", "COP30", "FABDEM", "FATHOM"):
+        assert np.isfinite(out["summary"]["offline"][prod]["RMSE"]), prod
+
+    # validate-only reload path produces consistent numbers
     t2 = Trainer(env, result_dir=tmp_path / "run2")
     t2.load(out["checkpoint"], resume=False)
-    r2 = t2.evaluate()
+    pred2 = tmp_path / "run2" / "predictions"
+    r2 = t2.evaluate(save_dir=pred2)
     np.testing.assert_allclose(r2["RMSE"], out["result"]["RMSE"], rtol=1e-4)
+    from jspsr_tpu.eval.summarise import summarise_run
+
+    s2 = summarise_run(env, t2.valid_set, pred2, tmp_path / "run2",
+                       plots=False)
+    np.testing.assert_allclose(s2["offline"]["SR"]["RMSE"],
+                               out["summary"]["offline"]["SR"]["RMSE"],
+                               rtol=1e-5)
 
     # metrics jsonl written
     assert (tmp_path / "run" / "metrics.jsonl").exists()
