@@ -113,6 +113,18 @@ class DataLoader:
             stop.set()
 
 
+def input_kinds(input_data: dict) -> list:
+    """Canonical per-modality input order shared by build_batch_inputs and
+    the device-side normalizer (data/normalize.make_device_normalize)."""
+    order = ["lr_dem"]
+    if input_data.get("image"):
+        order.append("image")
+    for aux in ("mask", "canopy", "coord"):
+        if input_data.get(aux):
+            order.append(aux)
+    return order
+
+
 def build_batch_inputs(batch: dict, model_name: str, input_data: dict):
     """Assemble model inputs from a collated batch
     (reference utils/utils.py:152-321 get_batch_pair):
@@ -123,12 +135,7 @@ def build_batch_inputs(batch: dict, model_name: str, input_data: dict):
     Returns (inputs, gt, base_elev, meta).
     """
     name = model_name.lower()
-    order = ["lr_dem"]
-    if input_data.get("image"):
-        order.append("image")
-    for aux in ("mask", "canopy", "coord"):
-        if input_data.get(aux):
-            order.append(aux)
+    order = input_kinds(input_data)
 
     gt = batch["hr_dem"]
     meta = batch.get("meta", [])

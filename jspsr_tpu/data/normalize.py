@@ -41,3 +41,60 @@ def _nonzero(v):
         return float(v) != 0.0
     except TypeError:
         return True  # traced/array base: always apply
+
+
+def make_device_normalize(p):
+    """Jitted on-device batch normalization for the raw-feed train path
+    (``device_normalize: true``).
+
+    TPU-idiomatic input pipeline: the host ships RAW crops (uint8 images /
+    masks / canopy, float32 DEMs) and this one fused XLA program applies
+    what ToArray (data/transforms.py:166-224) does per sample on the host —
+    /255 images, log-minmax elevation scaling with the per-scene relative
+    base, mask channel scaling, canopy /68. Elementwise work is free on the
+    chip (fuses into one pass at HBM bandwidth) and the host loop shrinks
+    to decode + crop + stack, which is what a 1-core host can actually
+    sustain (scripts/bench_trainer_e2e.py measures the difference).
+
+    Supported case (asserted by the Trainer): per-modality input models
+    (JSPSR/LRRU), no stats Normalize list, default [0,1] ranges.
+
+    Returns normalize(inputs, gt, base) -> (inputs, gt) with everything
+    float32 in [0,1] scale space, identical math to the host path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jspsr_tpu.data.loader import input_kinds
+
+    kinds = input_kinds(p.input_data)
+    tk = p.tensor_kwargs or {}
+    emin, emax, elog = tk.get("min"), tk.get("max"), tk.get("log", False)
+    scale_mask = tk.get("scale_mask", False)
+    n_div = len(p.get("mask_channel") or list(range(15))) + 1
+    relative = bool(p.get("relative"))
+
+    @jax.jit
+    def normalize(inputs, gt, base):
+        b = base[:, None, None, None] if relative else 0.0
+        out = []
+        for x, kind in zip(inputs, kinds):
+            x = x.astype(jnp.float32)
+            if kind == "lr_dem":
+                x = scale_data(x, emin, emax, elog, base_elev=b)
+            elif kind == "image":
+                x = x / 255.0
+            elif kind == "mask":
+                if scale_mask:
+                    chans = jnp.arange(1, x.shape[-1] + 1,
+                                       dtype=jnp.float32)
+                    x = x * (chans / n_div)
+            elif kind == "canopy":
+                x = x / 68.0
+            # coord: float [0,1] passthrough (ToArray generic branch)
+            out.append(x)
+        g = scale_data(gt.astype(jnp.float32), emin, emax, elog,
+                       base_elev=b)
+        return out, g
+
+    return normalize

@@ -367,6 +367,11 @@ def build_transforms(p):
         train_list.append(RandomFlipRotate90())
     if p.get("normalize"):
         train_list.insert(1, Normalize(p.normalize, p.get("resolution")))
-    train_list.append(to_array)
+    if not p.get("device_normalize"):
+        # device_normalize: the train loader ships RAW crops (uint8 stays
+        # uint8 — 4x less host->device traffic) and the jitted device
+        # normalizer applies ToArray's math on chip (data/normalize.py);
+        # the eval pipeline keeps the host ToArray path unchanged.
+        train_list.append(to_array)
     train_tf = Compose(train_list)
     return train_tf, eval_tf

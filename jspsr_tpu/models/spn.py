@@ -53,10 +53,24 @@ class Generator(Module):
         feat, s = self.block(params["block"], state["block"], feat, train=train)
         if s:
             new_state["block"] = s
-        weight, _ = self.conv_weight(params["conv_weight"], {}, feat)
-        weight = jax.nn.sigmoid(weight)
-        offset, _ = self.conv_offset(params["conv_offset"], {}, feat, train=train)
-        offset = insert_zero_center_offset(offset, self.kernel_size)
+        # Both 1x1 heads in ONE conv (exact: concatenated output channels
+        # are independent rows of the same matmul) — the full-res feature
+        # map is read once instead of twice (bandwidth-bound at 128^2).
+        # Param tree keeps the reference's separate conv_weight/conv_offset
+        # modules; the merge happens at trace time.
+        k2 = self.kernel_size ** 2
+        w_cat = jnp.concatenate(
+            [params["conv_weight"]["w"], params["conv_offset"]["conv"]["w"]],
+            axis=-1).astype(feat.dtype)
+        b_cat = jnp.concatenate(
+            [params["conv_weight"]["b"], params["conv_offset"]["conv"]["b"]]
+        ).astype(feat.dtype)
+        heads = jax.lax.conv_general_dilated(
+            feat, w_cat, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_cat
+        weight = jax.nn.sigmoid(heads[..., :k2])
+        offset = insert_zero_center_offset(heads[..., k2:], self.kernel_size)
         return (weight, offset), new_state
 
 

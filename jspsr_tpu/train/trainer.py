@@ -100,6 +100,20 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data
+        self.device_normalize = bool(p.get("device_normalize"))
+        if self.device_normalize:
+            assert p.model_name.lower() in ("jspsr", "lrru"), (
+                "device_normalize supports the per-modality input models "
+                "(JSPSR/LRRU); channel-stacked models mix scalings in one "
+                "tensor")
+            assert not p.get("normalize"), (
+                "device_normalize does not cover the stats Normalize list")
+            tk = p.tensor_kwargs or {}
+            assert not tk.get("image_range") and not tk.get("label_range"), (
+                "device_normalize covers the default [0,1] ranges only")
+            from jspsr_tpu.data.normalize import make_device_normalize
+
+            self.normalize_batch = make_device_normalize(p)
         train_tf, eval_tf = build_transforms(p)
         data_kwargs = {k: v for k, v in p.items() if k != "seed"}
         self.train_set = DFC30(split="train", transform=train_tf,
@@ -186,11 +200,17 @@ class Trainer:
         # with future arrays, so host-side decode + device_put of batch i+1
         # naturally overlaps the device compute of step i.
         for batch in self.train_loader:
-            inputs_np, gt_np, _, _ = build_batch_inputs(
+            inputs_np, gt_np, base_elev, _ = build_batch_inputs(
                 batch, p.model_name, p.input_data
             )
             inputs = shard_batch(self.mesh, [np.asarray(x) for x in inputs_np])
             gt = shard_batch(self.mesh, np.asarray(gt_np))
+            if self.device_normalize:
+                # raw uint8/float crops in, [0,1] float batches out — one
+                # fused on-device program, dispatched async like the step
+                inputs, gt = self.normalize_batch(
+                    inputs, gt, shard_batch(self.mesh,
+                                            np.asarray(base_elev)))
             self.state, losses = self.train_step(self.state, inputs, gt)
             bs = gt_np.shape[0]
             step_losses = {k: v for k, v in losses.items()

@@ -73,6 +73,17 @@ def main():
         t_mxu = flops / peak * 1e3
         t_hbm = bytes_moved / HBM_BW * 1e3
         t_sol = max(t_mxu, t_hbm)
+        # MXU-tiling-adjusted bound: the 128x128 systolic array pads the
+        # contraction (k*k*cin) and output-channel dims to multiples of
+        # 128, so narrow-channel convs (the whole JSPSR front end at
+        # nf=32) cannot reach nominal peak regardless of lowering —
+        # bench_conv_variants measured every exact re-expression
+        # (block-diag / grouped / batch-group / space-to-depth) SLOWER
+        # than XLA's native conv, so this is the honest attainable floor.
+        kdim = k * k * cin
+        pad_f = ((-(-kdim // 128) * 128) / kdim) * ((-(-cout // 128) * 128)
+                                                    / cout)
+        t_eff = max(t_mxu * pad_f, t_hbm)
 
         proj = jnp.asarray(rng.normal(size=(cout, cin)) * 0.01).astype(dt)
 
@@ -97,15 +108,19 @@ def main():
             "mb": round(bytes_moved / 1e6, 1),
             "meas_ms": round(t_fwd, 3),
             "sol_ms": round(t_sol, 3),
+            "eff_sol_ms": round(t_eff, 3),
             "bound": "mxu" if t_mxu >= t_hbm else "hbm",
             "ratio": round(t_fwd / max(t_sol, 1e-9), 2),
+            "eff_ratio": round(t_fwd / max(t_eff, 1e-9), 2),
             "model_ms": round(count * t_fwd, 2),
             "model_sol_ms": round(count * t_sol, 2),
+            "model_eff_sol_ms": round(count * t_eff, 2),
         })
         print(json.dumps(rows[-1]), flush=True)
 
     tot = sum(r["model_ms"] for r in rows)
     tot_sol = sum(r["model_sol_ms"] for r in rows)
+    tot_eff = sum(r["model_eff_sol_ms"] for r in rows)
 
     # full-model eval forward in the same process
     import __graft_entry__ as g
@@ -129,10 +144,14 @@ def main():
     print(json.dumps({
         "sum_conv_meas_ms": round(tot, 2),
         "sum_conv_sol_ms": round(tot_sol, 2),
+        "sum_conv_eff_sol_ms": round(tot_eff, 2),
         "conv_efficiency": round(tot_sol / tot, 3),
+        "conv_eff_adjusted": round(tot_eff / tot, 3),
         "full_model_fwd_ms": round(full_ms, 2),
         "non_conv_ms": round(full_ms - tot, 2),
         "headroom_vs_sol_pct": round((full_ms - tot_sol) / full_ms * 100, 1),
+        "headroom_vs_eff_sol_pct": round((full_ms - tot_eff) / full_ms * 100,
+                                         1),
     }), flush=True)
 
 

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--scenes", type=int, default=48, help="tiles per city")
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--step-iters", type=int, default=10)
+    ap.add_argument("--device-normalize", action="store_true",
+                    help="raw uint8 feed + on-device normalization")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +63,7 @@ def main():
         "mask_channel": list(range(10)),
         "relative": True, "augment": True, "patch_size": 128,
         "crop_mode": "random", "patches_per_image": 1,
+        "device_normalize": args.device_normalize,
         "workers": args.workers, "preload": True,
         "tensor_kwargs": {"log": True, "min": -80, "max": 929,
                           "scale_mask": True},
@@ -117,6 +120,7 @@ def main():
         "resident_step_tiles_per_sec": round(step_tps, 1),
         "ratio": round(ratio, 3),
         "batch": args.batch, "dtype": args.dtype,
+        "device_normalize": args.device_normalize,
         "epoch_tps": [round(t, 1) for t in tps_epochs],
     }))
 

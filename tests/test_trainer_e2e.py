@@ -136,3 +136,27 @@ def test_epoch_loss_is_mean_over_steps(env, tmp_path):
     np.testing.assert_allclose(epoch_loss, want, rtol=1e-6)
     # every loss term is averaged, not just Total
     assert set(trainer.last_epoch_losses) >= {"Total", "L1", "L2", "Grad"}
+
+
+def test_device_normalize_matches_host_path(env, tmp_path):
+    """device_normalize=True ships raw uint8/float crops and normalizes in
+    one fused on-device program (data/normalize.make_device_normalize);
+    the training math must be identical to the host ToArray path."""
+    p_host = AttrDict(dict(env))
+    p_host["epochs"] = 1
+    p_dev = AttrDict(dict(p_host))
+    p_dev["device_normalize"] = True
+
+    t_host = Trainer(p_host, result_dir=tmp_path / "host")
+    t_host.train_one_epoch(0)
+    t_dev = Trainer(p_dev, result_dir=tmp_path / "dev")
+    t_dev.train_one_epoch(0)
+
+    # identical data order (seeded), identical math -> same epoch losses
+    for k, v in t_host.last_epoch_losses.items():
+        np.testing.assert_allclose(t_dev.last_epoch_losses[k], v,
+                                   rtol=2e-4, err_msg=k)
+    # and identical evaluation after the one epoch (same updated params)
+    r_host = t_host.evaluate()
+    r_dev = t_dev.evaluate()
+    np.testing.assert_allclose(r_dev["RMSE"], r_host["RMSE"], rtol=2e-4)
