@@ -113,6 +113,56 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(iterator, transfer, depth: int = 2):
+    """Stage host batches onto the device ``depth`` ahead of the consumer.
+
+    ``transfer`` maps a host batch to device arrays (device_put / sharded
+    placement / a jitted normalize dispatch). Running it in a background
+    thread overlaps the host->device serialization of batch i+1 with the
+    consumer's wait on step i: device transfers release the GIL during the
+    copy (a network write on the tunneled chip), so even a 1-core host
+    overlaps the two (scripts/bench_trainer_e2e.py measures the gain).
+    Order is preserved (single worker, FIFO queue); worker exceptions
+    re-raise in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def put(obj) -> bool:
+        # bounded put that gives up when the consumer abandoned the iterator
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if stop.is_set():
+                    return
+                if not put(transfer(item)):
+                    return
+        except BaseException as e:  # surface in the consumer
+            put(e)
+            return
+        put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def input_kinds(input_data: dict) -> list:
     """Canonical per-modality input order shared by build_batch_inputs and
     the device-side normalizer (data/normalize.make_device_normalize)."""

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from jspsr_tpu.data.dfc30 import DFC30
-from jspsr_tpu.data.loader import DataLoader, build_batch_inputs
+from jspsr_tpu.data.loader import DataLoader, build_batch_inputs, \
+    device_prefetch
 from jspsr_tpu.data.transforms import build_transforms
 from jspsr_tpu.eval.loop import eval_model
 from jspsr_tpu.losses import build_criterion
@@ -100,6 +101,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.criterion)
 
         # data
+        # device_prefetch: stage batches onto the chip ahead of the step
+        # loop (default on; order-preserving, math-identical — see
+        # train_one_epoch). Opt out with `device_prefetch: false`.
+        self.prefetch_to_device = bool(p.get("device_prefetch", True))
         self.device_normalize = bool(p.get("device_normalize"))
         if self.device_normalize:
             assert p.model_name.lower() in ("jspsr", "lrru"), (
@@ -196,10 +201,13 @@ class Trainer:
         # transfer happens at the epoch-end float().
         loss_sums = None
 
-        # NOTE: jax dispatch is asynchronous — train_step returns immediately
-        # with future arrays, so host-side decode + device_put of batch i+1
-        # naturally overlaps the device compute of step i.
-        for batch in self.train_loader:
+        # Staging (build_batch_inputs -> shard_batch device_put -> device
+        # normalize dispatch) runs in a background thread, two batches ahead
+        # (data/loader.device_prefetch): the host->device serialization of
+        # batch i+1 overlaps the device compute of step i even on a 1-core
+        # host, since the transfer releases the GIL. Math is order-identical
+        # (FIFO; tests/test_trainer_e2e.py proves loss-trace equality).
+        def stage(batch):
             inputs_np, gt_np, base_elev, _ = build_batch_inputs(
                 batch, p.model_name, p.input_data
             )
@@ -211,8 +219,13 @@ class Trainer:
                 inputs, gt = self.normalize_batch(
                     inputs, gt, shard_batch(self.mesh,
                                             np.asarray(base_elev)))
+            return inputs, gt, gt_np.shape[0]
+
+        batches = (device_prefetch(iter(self.train_loader), stage)
+                   if self.prefetch_to_device
+                   else (stage(b) for b in self.train_loader))
+        for inputs, gt, bs in batches:
             self.state, losses = self.train_step(self.state, inputs, gt)
-            bs = gt_np.shape[0]
             step_losses = {k: v for k, v in losses.items()
                            if not _is_monitor_key(k)}
             if loss_sums is None:

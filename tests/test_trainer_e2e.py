@@ -138,6 +138,44 @@ def test_epoch_loss_is_mean_over_steps(env, tmp_path):
     assert set(trainer.last_epoch_losses) >= {"Total", "L1", "L2", "Grad"}
 
 
+def test_device_prefetch_matches_sync_path(env, tmp_path):
+    """device_prefetch (default) stages batches from a background thread
+    (data/loader.device_prefetch). It only reorders WHEN host->device
+    transfers are issued — same batches, same order, same math — so the
+    loss trace must match the synchronous path exactly."""
+    p_sync = AttrDict(dict(env))
+    p_sync["epochs"] = 1
+    p_sync["device_prefetch"] = False
+    p_pre = AttrDict(dict(p_sync))
+    p_pre["device_prefetch"] = True
+
+    t_sync = Trainer(p_sync, result_dir=tmp_path / "sync")
+    t_sync.train_one_epoch(0)
+    t_pre = Trainer(p_pre, result_dir=tmp_path / "pre")
+    t_pre.train_one_epoch(0)
+
+    assert t_pre.last_epoch_losses.keys() == t_sync.last_epoch_losses.keys()
+    for k, v in t_sync.last_epoch_losses.items():
+        np.testing.assert_allclose(t_pre.last_epoch_losses[k], v,
+                                   rtol=1e-7, err_msg=k)
+
+
+def test_device_prefetch_propagates_worker_errors():
+    """An exception inside the staging thread re-raises in the consumer."""
+    from jspsr_tpu.data.loader import device_prefetch
+
+    def boom(item):
+        if item == 2:
+            raise ValueError("bad batch")
+        return item * 10
+
+    out = []
+    with pytest.raises(ValueError, match="bad batch"):
+        for x in device_prefetch(iter(range(5)), boom):
+            out.append(x)
+    assert out == [0, 10]  # order preserved up to the failure
+
+
 def test_device_normalize_matches_host_path(env, tmp_path):
     """device_normalize=True ships raw uint8/float crops and normalizes in
     one fused on-device program (data/normalize.make_device_normalize);
