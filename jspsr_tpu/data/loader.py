@@ -163,6 +163,19 @@ def device_prefetch(iterator, transfer, depth: int = 2):
         stop.set()
 
 
+def pack_mask_np(mask: np.ndarray) -> np.ndarray:
+    """Bit-pack a binary one-hot mask along channels for the raw-feed path
+    (``pack_mask: true``): [B, H, W, C] {0,1} uint8 -> [B, H, W, ceil(C/8)]
+    big-endian bytes (np.packbits order — channel 0 lands in the MSB).
+
+    The UA2012 land-use mask is one-hot (dfc30.py reads it as uint8 0/1),
+    so packing is exact and cuts its host->device bytes 8x — on the 1-core
+    tunneled host the transfer is the dominant feed cost
+    (scripts/bench_trainer_e2e.py). The device normalizer unpacks with the
+    matching bit order (data/normalize.make_device_normalize)."""
+    return np.packbits(np.asarray(mask, np.uint8), axis=-1)
+
+
 def input_kinds(input_data: dict) -> list:
     """Canonical per-modality input order shared by build_batch_inputs and
     the device-side normalizer (data/normalize.make_device_normalize)."""

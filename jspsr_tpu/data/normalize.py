@@ -59,6 +59,10 @@ def make_device_normalize(p):
     Supported case (asserted by the Trainer): per-modality input models
     (JSPSR/LRRU), no stats Normalize list, default [0,1] ranges.
 
+    With ``pack_mask: true`` the mask arrives bit-packed
+    (data/loader.pack_mask_np, 8x fewer bytes over the tunnel) and is
+    unpacked here in the same fused pass.
+
     Returns normalize(inputs, gt, base) -> (inputs, gt) with everything
     float32 in [0,1] scale space, identical math to the host path.
     """
@@ -71,14 +75,26 @@ def make_device_normalize(p):
     tk = p.tensor_kwargs or {}
     emin, emax, elog = tk.get("min"), tk.get("max"), tk.get("log", False)
     scale_mask = tk.get("scale_mask", False)
-    n_div = len(p.get("mask_channel") or list(range(15))) + 1
+    mask_ch = len(p.get("mask_channel") or list(range(15)))
+    n_div = mask_ch + 1
     relative = bool(p.get("relative"))
+    pack_mask = bool(p.get("pack_mask"))
+
+    def unpack_bits(x):
+        # inverse of data/loader.pack_mask_np: [..., ceil(C/8)] big-endian
+        # bytes -> [..., C] {0,1}. Shift-and-mask fuses into the same
+        # elementwise pass as the scaling below.
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (x[..., None] >> shifts) & jnp.uint8(1)
+        return bits.reshape(*x.shape[:-1], x.shape[-1] * 8)[..., :mask_ch]
 
     @jax.jit
     def normalize(inputs, gt, base):
         b = base[:, None, None, None] if relative else 0.0
         out = []
         for x, kind in zip(inputs, kinds):
+            if kind == "mask" and pack_mask:
+                x = unpack_bits(x)
             x = x.astype(jnp.float32)
             if kind == "lr_dem":
                 x = scale_data(x, emin, emax, elog, base_elev=b)

@@ -360,18 +360,19 @@ def build_transforms(p):
     to_array = ToArray(p.get("normalize"), p.get("mask_channel"),
                        p.get("relative", False),
                        **(p.get("tensor_kwargs") or {}))
-    eval_tf = Compose([crop, to_array])
+    # device_normalize: BOTH loaders ship RAW crops (uint8 stays uint8 —
+    # 4x less host->device traffic) and the jitted device normalizer
+    # applies ToArray's math on chip (data/normalize.py). The train loop
+    # normalizes in stage(); eval_model normalizes before eval_step.
+    device_norm = bool(p.get("device_normalize"))
+    eval_tf = Compose([crop] if device_norm else [crop, to_array])
 
     train_list = [crop]
     if p.get("augment"):
         train_list.append(RandomFlipRotate90())
     if p.get("normalize"):
         train_list.insert(1, Normalize(p.normalize, p.get("resolution")))
-    if not p.get("device_normalize"):
-        # device_normalize: the train loader ships RAW crops (uint8 stays
-        # uint8 — 4x less host->device traffic) and the jitted device
-        # normalizer applies ToArray's math on chip (data/normalize.py);
-        # the eval pipeline keeps the host ToArray path unchanged.
+    if not device_norm:
         train_list.append(to_array)
     train_tf = Compose(train_list)
     return train_tf, eval_tf

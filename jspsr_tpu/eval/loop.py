@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from jspsr_tpu import nn
 from jspsr_tpu.data.loader import build_batch_inputs
-from jspsr_tpu.data.normalize import descale_data
+from jspsr_tpu.data.normalize import descale_data, scale_data
 from jspsr_tpu.data.raster_io import HAS_RASTERIO, write_raster
 from jspsr_tpu.metrics.meters import PerformanceMeter
 from jspsr_tpu.parallel.mesh import pad_batch_to, shard_batch
@@ -35,6 +35,24 @@ def save_prediction(pred, meta, save_dir, tensor_kwargs, base_elev=0.0):
     path = save_dir / f"{meta['id']}{suffix}"
     write_raster(path, arr.astype(np.float32), dict(profile))
     return path
+
+
+def _host_view_sample(sample: dict, tk: dict, base: float) -> dict:
+    """Normalize a RAW crop for display_predictions (raw-feed eval): DEMs
+    log-minmax scaled with the per-tile base, image /255, canopy /68 —
+    the subset of ToArray's math the visual panels consume."""
+    out = {}
+    for k, v in sample.items():
+        v = np.asarray(v)
+        if "dem" in k:
+            v = scale_data(v.astype(np.float32), tk["min"], tk["max"],
+                           tk.get("log", False), base_elev=base)
+        elif k == "image":
+            v = v.astype(np.float32) / 255.0
+        elif k == "canopy":
+            v = v.astype(np.float32) / 68.0
+        out[k] = v
+    return out
 
 
 def get_visual_id(num_visual: int, num_samples: int, id_visual=None):
@@ -61,6 +79,7 @@ def eval_model(
     visual_dir=None,
     verbose: bool = False,
     mesh=None,
+    normalize=None,
 ):
     """Returns dict with loss, metric scores, and optional input-baseline
     scores. eval_step: jitted (params, bn_state, inputs, gt) -> (pred, losses).
@@ -70,7 +89,14 @@ def eval_model(
     chip (requires valid_batch_size divisible by the mesh size; the padded
     remainder batch keeps the same compiled shape). Metric semantics are
     unchanged: meters reduce per sample on device, so sharded scores equal
-    single-device scores (verified in tests/test_parallel.py)."""
+    single-device scores (verified in tests/test_parallel.py).
+
+    ``normalize``: raw-feed device normalizer (``device_normalize: true`` —
+    data/normalize.make_device_normalize). When set, the loader ships RAW
+    crops (the eval transform skips host ToArray) and this one fused
+    on-device program scales inputs AND gt before eval_step — identical
+    math, 4x fewer host->device bytes (8x on the mask with ``pack_mask``).
+    The bicubic input baseline and visual panels are scaled to match."""
     meter = PerformanceMeter({k: dict(v) for k, v in p.metric.items()})
     meter_in = (
         PerformanceMeter({k: dict(v) for k, v in p.metric.items()})
@@ -91,6 +117,13 @@ def eval_model(
     batch_cfg = int(p.get("valid_batch_size", 1) or 1)
     if mesh is not None and batch_cfg % mesh.devices.size != 0:
         mesh = None  # batch not divisible across chips -> single-device
+    mask_idx = None
+    if normalize is not None and p.get("pack_mask"):
+        from jspsr_tpu.data.loader import input_kinds, pack_mask_np
+
+        kinds = input_kinds(p.input_data)
+        mask_idx = kinds.index("mask") if "mask" in kinds else None
+    tk = p.tensor_kwargs or {}
     sample_idx = 0
     for batch in loader:
         inputs_np, gt_np, base_elev, meta = build_batch_inputs(
@@ -98,9 +131,14 @@ def eval_model(
         )
         n_real = gt_np.shape[0]
         lr_dem_np = np.asarray(batch["lr_dem"]) if meter_in is not None else None
+        base_np = np.asarray(base_elev, np.float32)
+        if mask_idx is not None:
+            inputs_np = list(inputs_np)
+            inputs_np[mask_idx] = pack_mask_np(inputs_np[mask_idx])
         if n_real < batch_cfg:
             inputs_np, _ = pad_batch_to(list(inputs_np), batch_cfg)
             gt_np, _ = pad_batch_to(gt_np, batch_cfg)
+            base_np, _ = pad_batch_to(base_np, batch_cfg)
             if lr_dem_np is not None:
                 lr_dem_np, _ = pad_batch_to(lr_dem_np, batch_cfg)
         if mesh is not None:
@@ -109,6 +147,10 @@ def eval_model(
         else:
             inputs = [jnp.asarray(x) for x in inputs_np]
             gt = jnp.asarray(gt_np)
+        if normalize is not None:
+            base_dev = (shard_batch(mesh, base_np) if mesh is not None
+                        else jnp.asarray(base_np))
+            inputs, gt = normalize(inputs, gt, base_dev)
         pred, losses = eval_step(params, bn_state, inputs, gt)
         if losses:
             # per-sample totals: exact under padding AND under
@@ -122,6 +164,13 @@ def eval_model(
         if meter_in is not None:
             lr_dem = (shard_batch(mesh, lr_dem_np) if mesh is not None
                       else jnp.asarray(lr_dem_np))
+            if normalize is not None:
+                # raw feed: apply ToArray's lr_dem scaling on device (same
+                # scale-then-resize order as the host path)
+                b = (base_dev[:, None, None, None] if p.get("relative")
+                     else 0.0)
+                lr_dem = scale_data(lr_dem.astype(jnp.float32), tk["min"],
+                                    tk["max"], elev_log, base_elev=b)
             if lr_dem.shape[1:3] != gt.shape[1:3]:
                 lr_dem = nn.bicubic_resize(lr_dem, gt.shape[1], gt.shape[2])
             meter_in.update(lr_dem, gt, meta, base_elev, elev_log,
@@ -140,6 +189,10 @@ def eval_model(
                     sample = {k: batch[k][i] for k in
                               ("lr_dem", "hr_dem", "image", "mask", "canopy")
                               if k in batch}
+                    if normalize is not None:
+                        # raw feed: display expects normalized [0,1] panels
+                        sample = _host_view_sample(sample, tk,
+                                                   float(base_elev[i]))
                     display_predictions(
                         sample, np.asarray(pred[i]), dict(p.tensor_kwargs),
                         base_elev=float(base_elev[i]),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from jspsr_tpu.data.dfc30 import DFC30
 from jspsr_tpu.data.loader import DataLoader, build_batch_inputs, \
-    device_prefetch
+    device_prefetch, pack_mask_np
 from jspsr_tpu.data.transforms import build_transforms
 from jspsr_tpu.eval.loop import eval_model
 from jspsr_tpu.losses import build_criterion
@@ -106,6 +106,19 @@ class Trainer:
         # train_one_epoch). Opt out with `device_prefetch: false`.
         self.prefetch_to_device = bool(p.get("device_prefetch", True))
         self.device_normalize = bool(p.get("device_normalize"))
+        # pack_mask: bit-pack the binary one-hot mask on the host (8x fewer
+        # bytes over the tunnel) and unpack inside the fused device
+        # normalizer. Exact for {0,1} masks (UA2012 is one-hot).
+        self.pack_mask = bool(p.get("pack_mask"))
+        self._mask_idx = None
+        if self.pack_mask:
+            assert self.device_normalize, (
+                "pack_mask rides the raw device_normalize feed")
+            from jspsr_tpu.data.loader import input_kinds
+
+            kinds = input_kinds(p.input_data)
+            assert "mask" in kinds, "pack_mask set but no mask input"
+            self._mask_idx = kinds.index("mask")
         if self.device_normalize:
             assert p.model_name.lower() in ("jspsr", "lrru"), (
                 "device_normalize supports the per-modality input models "
@@ -211,6 +224,10 @@ class Trainer:
             inputs_np, gt_np, base_elev, _ = build_batch_inputs(
                 batch, p.model_name, p.input_data
             )
+            if self._mask_idx is not None:
+                inputs_np = list(inputs_np)
+                inputs_np[self._mask_idx] = pack_mask_np(
+                    inputs_np[self._mask_idx])
             inputs = shard_batch(self.mesh, [np.asarray(x) for x in inputs_np])
             gt = shard_batch(self.mesh, np.asarray(gt_np))
             if self.device_normalize:
@@ -262,6 +279,8 @@ class Trainer:
             compare_input=compare_input, save_dir=save_dir,
             visual_dir=visual_dir, verbose=self.verbose,
             mesh=self.mesh if self.mesh.devices.size > 1 else None,
+            normalize=(self.normalize_batch if self.device_normalize
+                       else None),
         )
 
     # ------------------------------------------------------------------

@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--step-iters", type=int, default=10)
     ap.add_argument("--device-normalize", action="store_true",
                     help="raw uint8 feed + on-device normalization")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the double-buffered device_prefetch")
+    ap.add_argument("--pack-mask", action="store_true",
+                    help="bit-packed mask transfer (requires device norm)")
+    ap.add_argument("--compare", action="store_true",
+                    help="sweep feed variants in ONE process: devnorm sync, "
+                         "devnorm+prefetch, devnorm+prefetch+pack")
     args = ap.parse_args()
 
     import jax
@@ -85,20 +92,49 @@ def main():
     })
     # model channels expect 15 mask ch in the flagship shape; the synthetic
     # mask has 15, mask_channel selects 10 like the shipped r8 img+msk cfg
-    trainer = Trainer(p, result_dir="/tmp/bench_e2e/run")
+    p["device_prefetch"] = not args.no_prefetch
+    p["pack_mask"] = args.pack_mask
 
-    # epoch 0 pays the compile; time the rest
-    tps_epochs = []
-    for epoch in range(args.epochs):
-        t0 = time.perf_counter()
-        trainer.train_one_epoch(epoch)
-        dt = time.perf_counter() - t0
-        n = len(trainer.train_loader) * args.batch
-        tps = trainer.last_throughput
-        tps_epochs.append(tps)
-        print(f"# epoch {epoch}: {dt:.2f}s, {tps:.1f} tiles/s "
-              f"({n} tiles)")
-    e2e_tps = max(tps_epochs[1:]) if len(tps_epochs) > 1 else tps_epochs[0]
+    def run_variant(overrides, label):
+        from jspsr_tpu.config.loader import AttrDict as AD
+
+        cfg = AD(dict(p))
+        cfg.update(overrides)
+        trainer = Trainer(cfg, result_dir=f"/tmp/bench_e2e/run_{label}")
+        tps_epochs = []
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            trainer.train_one_epoch(epoch)
+            dt = time.perf_counter() - t0
+            n = len(trainer.train_loader) * args.batch
+            tps = trainer.last_throughput
+            tps_epochs.append(tps)
+            print(f"# [{label}] epoch {epoch}: {dt:.2f}s, {tps:.1f} tiles/s "
+                  f"({n} tiles)", flush=True)
+        # epoch 0 pays the compile; report the best of the rest
+        return (max(tps_epochs[1:]) if len(tps_epochs) > 1
+                else tps_epochs[0]), tps_epochs
+
+    variants = {}
+    if args.compare:
+        # one process so every variant shares the step compile; the step
+        # program is identical across feeds — only the tiny normalize
+        # program differs (pack changes its input shape)
+        for label, ov in (
+            ("devnorm_sync", {"device_normalize": True,
+                              "device_prefetch": False}),
+            ("devnorm_prefetch", {"device_normalize": True,
+                                  "device_prefetch": True}),
+            ("devnorm_prefetch_pack", {"device_normalize": True,
+                                       "device_prefetch": True,
+                                       "pack_mask": True}),
+        ):
+            best, epochs_tps = run_variant(ov, label)
+            variants[label] = {"best": round(best, 1),
+                               "epochs": [round(t, 1) for t in epochs_tps]}
+        e2e_tps = max(v["best"] for v in variants.values())
+    else:
+        e2e_tps, _ = run_variant({}, "single")
 
     # same-process resident-data step bench at the identical config
     from scripts.bench_train_probe import build
@@ -121,7 +157,7 @@ def main():
         "ratio": round(ratio, 3),
         "batch": args.batch, "dtype": args.dtype,
         "device_normalize": args.device_normalize,
-        "epoch_tps": [round(t, 1) for t in tps_epochs],
+        "variants": variants or None,
     }))
 
 

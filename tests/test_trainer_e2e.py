@@ -176,6 +176,60 @@ def test_device_prefetch_propagates_worker_errors():
     assert out == [0, 10]  # order preserved up to the failure
 
 
+def test_pack_mask_roundtrip_unit():
+    """pack_mask_np (host, np.packbits big-endian) and the device
+    normalizer's unpack are exact inverses, including a channel count that
+    is not a multiple of 8 (mask_channel selects 10 of 15)."""
+    from jspsr_tpu.data.loader import pack_mask_np
+    from jspsr_tpu.data.normalize import make_device_normalize
+
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, 2, size=(2, 8, 8, 10), dtype=np.uint8)
+    packed = pack_mask_np(mask)
+    assert packed.shape == (2, 8, 8, 2)
+
+    p = AttrDict({
+        "input_data": {"lr_dem": 1, "mask": 10},
+        "mask_channel": list(range(10)),
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "relative": False, "pack_mask": True,
+    })
+    norm_packed = make_device_normalize(p)
+    p2 = AttrDict(dict(p))
+    p2["pack_mask"] = False
+    norm_plain = make_device_normalize(p2)
+
+    dem = rng.uniform(0, 100, size=(2, 8, 8, 1)).astype(np.float32)
+    gt = rng.uniform(0, 100, size=(2, 8, 8, 1)).astype(np.float32)
+    base = np.zeros((2,), np.float32)
+    (got_dem, got_mask), got_gt = norm_packed([dem, packed], gt, base)
+    (exp_dem, exp_mask), exp_gt = norm_plain([dem, mask], gt, base)
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(exp_mask))
+    np.testing.assert_array_equal(np.asarray(got_dem), np.asarray(exp_dem))
+    np.testing.assert_array_equal(np.asarray(got_gt), np.asarray(exp_gt))
+
+
+def test_pack_mask_trainer_matches_unpacked(env, tmp_path):
+    """pack_mask=True (bit-packed mask over the wire, unpacked on device)
+    trains bit-identically to the plain raw feed."""
+    p_plain = AttrDict(dict(env))
+    p_plain["epochs"] = 1
+    p_plain["input_data"] = {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 15}
+    p_plain["device_normalize"] = True
+    p_pack = AttrDict(dict(p_plain))
+    p_pack["pack_mask"] = True
+
+    t_plain = Trainer(p_plain, result_dir=tmp_path / "plain")
+    t_plain.train_one_epoch(0)
+    t_pack = Trainer(p_pack, result_dir=tmp_path / "pack")
+    t_pack.train_one_epoch(0)
+
+    for k, v in t_plain.last_epoch_losses.items():
+        np.testing.assert_allclose(t_pack.last_epoch_losses[k], v,
+                                   rtol=1e-7, err_msg=k)
+
+
 def test_device_normalize_matches_host_path(env, tmp_path):
     """device_normalize=True ships raw uint8/float crops and normalizes in
     one fused on-device program (data/normalize.make_device_normalize);
@@ -194,7 +248,15 @@ def test_device_normalize_matches_host_path(env, tmp_path):
     for k, v in t_host.last_epoch_losses.items():
         np.testing.assert_allclose(t_dev.last_epoch_losses[k], v,
                                    rtol=2e-4, err_msg=k)
-    # and identical evaluation after the one epoch (same updated params)
-    r_host = t_host.evaluate()
-    r_dev = t_dev.evaluate()
+    # and identical evaluation after the one epoch (same updated params).
+    # device_normalize now covers eval too: the dev trainer's val loader
+    # ships RAW crops and eval_model normalizes on device — scores AND the
+    # bicubic input baseline must match the host ToArray path.
+    r_host = t_host.evaluate(compare_input=True)
+    r_dev = t_dev.evaluate(compare_input=True)
     np.testing.assert_allclose(r_dev["RMSE"], r_host["RMSE"], rtol=2e-4)
+    np.testing.assert_allclose(r_dev["loss"], r_host["loss"], rtol=2e-4)
+    np.testing.assert_allclose(r_dev["input"]["RMSE"],
+                               r_host["input"]["RMSE"], rtol=1e-5)
+    np.testing.assert_allclose(r_dev["input"]["PSNR"],
+                               r_host["input"]["PSNR"], rtol=1e-5)
