@@ -21,6 +21,9 @@ guidance, single chip. Prints ONE JSON line:
 - train_step_bf16_tiles_per_sec: same step with the accuracy-gated
   mixed-precision bf16 body (PERF.md; RMSE parity in the soak gate).
 - forward_bf16_tiles_per_sec: eval forward with the bf16 body at b16.
+- e2e_trainer_tiles_per_sec: the REAL training pipeline (loader threads ->
+  shard_batch -> jitted step) on synthetic DFC30 at the shipped bf16 feed
+  config; e2e_vs_resident_ratio shows the host-feed cost (VERDICT r2 #4).
 """
 
 import json
@@ -98,6 +101,26 @@ def measure_train(batch, remat_stages, iters=10, warmup=2, trials=TRIALS,
     return out
 
 
+def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
+    """END-TO-END Trainer throughput (loader threads -> shard_batch ->
+    jitted step) on synthetic DFC30 at the shipped bf16 feed config
+    (device_normalize raw feed + double-buffered prefetch + bit-packed
+    masks). Returns the best post-compile epoch tiles/s. The step program
+    shares shapes with the resident train_bf16 probe, so most of the
+    compile is already cached in-process."""
+    from scripts.bench_trainer_e2e import (ensure_fixture, make_config,
+                                           run_epochs)
+
+    data_root = ensure_fixture(Path("/tmp/bench_e2e_headline/DFC30_8m"),
+                               scenes)
+    cfg = make_config(data_root, batch, dtype,
+                      device_normalize=True, device_prefetch=True,
+                      pack_mask=True)
+    best, _ = run_epochs(cfg, epochs, "bench_headline",
+                         result_dir="/tmp/bench_e2e_headline/run")
+    return [best]
+
+
 def main():
     points = {}
 
@@ -145,6 +168,10 @@ def main():
         if train_bf16_tps:
             break
 
+    # end-to-end Trainer (real input pipeline) at the bf16 feed config;
+    # ratio vs the resident-data step shows the host-feed cost (VERDICT r2 #4)
+    e2e_tps = probe("trainer_e2e_bf16_b48", measure_trainer_e2e)
+
     try:
         cpu_tps = _cpu_baseline()
         vs = best_tps / (10.0 * cpu_tps)
@@ -165,6 +192,9 @@ def main():
                                           if train_bf16_tps else None),
         "forward_bf16_tiles_per_sec": (round(fwd_bf16_tps, 1)
                                        if fwd_bf16_tps else None),
+        "e2e_trainer_tiles_per_sec": (round(e2e_tps, 1) if e2e_tps else None),
+        "e2e_vs_resident_ratio": (round(e2e_tps / train_bf16_tps, 3)
+                                  if e2e_tps and train_bf16_tps else None),
     }))
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -119,9 +120,14 @@ def set_learning_rate(opt_state, lr: float, base_lr: float | None = None):
             value = lr
             if group == "diff":
                 value = DIFF_LR * factor if factor is not None else DIFF_LR
-            s.hyperparams["learning_rate"] = jnp.asarray(
-                value, s.hyperparams["learning_rate"].dtype
-            )
+            old = s.hyperparams["learning_rate"]
+            new = jnp.asarray(value, old.dtype)
+            # Keep the leaf's sharding: the jitted step returns mesh-sharded
+            # state leaves, and swapping in an unsharded scalar here changes
+            # the step's input avals -> a full recompile on the next call.
+            if hasattr(old, "sharding"):
+                new = jax.device_put(new, old.sharding)
+            s.hyperparams["learning_rate"] = new
         if hasattr(s, "inner_states"):  # multi_transform
             for name, inner in s.inner_states.items():
                 visit(inner.inner_state if hasattr(inner, "inner_state")

@@ -15,6 +15,8 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from pathlib import Path
 
@@ -29,7 +31,7 @@ from jspsr_tpu.data.transforms import build_transforms
 from jspsr_tpu.eval.loop import eval_model
 from jspsr_tpu.losses import build_criterion
 from jspsr_tpu.models.factory import build_model
-from jspsr_tpu.parallel.mesh import make_mesh, shard_batch
+from jspsr_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
 from jspsr_tpu.train.checkpoint import (
     load_checkpoint,
     load_params_filtered,
@@ -89,8 +91,12 @@ class Trainer:
         self.criterion = build_criterion(dict(p.loss))
         self.optimizer = build_optimizer(p, params)
         opt_state = self.optimizer.init(params)
-        self.state = TrainState(params, bn_state, opt_state,
-                                jnp.zeros((), jnp.int32))
+        # Pre-place the initial state with the mesh-replicated sharding the
+        # jitted step's OUTPUT state carries: without this, step call #1
+        # (unsharded leaves) and call #2 (mesh-sharded leaves) compile two
+        # distinct programs — ~50 s each through the tunnel's compile path.
+        self.state = replicate_state(mesh, TrainState(
+            params, bn_state, opt_state, jnp.zeros((), jnp.int32)))
         self.lr_schedule = build_lr_schedule(p)
 
         self.train_step = make_train_step(
@@ -172,8 +178,8 @@ class Trainer:
 
             sd, meta = load_torch_checkpoint(path)
             params, bn_state = import_torch_state_dict(self.model, sd)
-            self.state = TrainState(params, bn_state, self.state.opt_state,
-                                    self.state.step)
+            self.state = replicate_state(self.mesh, TrainState(
+                params, bn_state, self.state.opt_state, self.state.step))
             if resume and meta.get("epoch") is not None:
                 self.start_epoch = meta["epoch"] + 1
                 self.best_result = meta.get("best_result")
@@ -186,7 +192,8 @@ class Trainer:
         bn_state = ck["bn_state"] or self.state.bn_state
         opt_state = ck["opt_state"] if (resume and ck["opt_state"] is not None) \
             else self.state.opt_state
-        self.state = TrainState(params, bn_state, opt_state, self.state.step)
+        self.state = replicate_state(self.mesh, TrainState(
+            params, bn_state, opt_state, self.state.step))
         if resume:
             self.start_epoch = ck["epoch"] + 1
             self.best_result = ck["best_result"]
@@ -241,8 +248,18 @@ class Trainer:
         batches = (device_prefetch(iter(self.train_loader), stage)
                    if self.prefetch_to_device
                    else (stage(b) for b in self.train_loader))
+        debug_timing = os.environ.get("JSPSR_DEBUG_TIMING")
+        t_prev = time.perf_counter()
         for inputs, gt, bs in batches:
+            if debug_timing:
+                t_fetch = time.perf_counter() - t_prev
             self.state, losses = self.train_step(self.state, inputs, gt)
+            if debug_timing:
+                t_now = time.perf_counter()
+                print(f"## batch fetch {t_fetch * 1e3:.0f}ms "
+                      f"dispatch {(t_now - t_prev) * 1e3 - t_fetch * 1e3:.0f}ms",
+                      file=sys.stderr, flush=True)
+                t_prev = t_now
             step_losses = {k: v for k, v in losses.items()
                            if not _is_monitor_key(k)}
             if loss_sums is None:
@@ -251,10 +268,14 @@ class Trainer:
                 loss_sums = {k: loss_sums[k] + v * bs
                              for k, v in step_losses.items()}
             n_samples += bs
+        t_sync0 = time.perf_counter()
         self.last_epoch_losses = (
             {k: float(v) / n_samples for k, v in loss_sums.items()}
             if loss_sums else {}
         )
+        if debug_timing:
+            print(f"## epoch-end sync {(time.perf_counter() - t_sync0) * 1e3:.0f}ms",
+                  file=sys.stderr, flush=True)
         epoch_loss = self.last_epoch_losses.get("Total", float("nan"))
         dt = time.perf_counter() - t0
         self.last_throughput = n_samples / max(dt, 1e-9)  # tiles/sec

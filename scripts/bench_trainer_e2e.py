@@ -28,6 +28,77 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
 import numpy as np
 
 
+def ensure_fixture(data_root, scenes):
+    """Create (once) the synthetic DFC30 fixture used by the e2e probes."""
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+
+    data_root = Path(data_root)
+    if not data_root.exists():
+        t0 = time.perf_counter()
+        generate_mini_dfc30(data_root, train_cities=("Brest",),
+                            valid_cities=("Vannes",),
+                            n_per_city=scenes, size=128)
+        print(f"# fixture: {scenes} scenes/city in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    return data_root
+
+
+def make_config(data_root, batch, dtype, workers=4, **overrides):
+    """Trainer config for the e2e feed benchmark (flagship JSPSR shape)."""
+    from jspsr_tpu.config.loader import AttrDict
+
+    p = AttrDict({
+        "name": "bench_e2e", "verbose": False, "dataset": "DFC30",
+        "dataset_path": str(data_root), "resolution": 8,
+        "train_set": ["Brest"], "valid_set": ["Vannes"],
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 10},
+        "mask_channel": list(range(10)),
+        "relative": True, "augment": True, "patch_size": 128,
+        "crop_mode": "random", "patches_per_image": 1,
+        "device_normalize": False,
+        "workers": workers, "preload": True,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 2, "num_feature": 32, "spn": True,
+                         "compute_dtype": dtype,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "ConstantLR", "scheduler_kwargs": {},
+        "train_batch_size": batch, "epochs": 3,
+        "resume": False, "valid_batch_size": 1,
+        "val_interval": 10**9, "val_start_epoch": 10**9,
+        "metric": {"RMSE": {"package": "local", "min": -80, "max": 929}},
+        "best_metric": "RMSE", "early_stop": {},
+        "seed": 0,
+    })
+    p.update(overrides)
+    return p
+
+
+def run_epochs(cfg, epochs, label, result_dir=None):
+    """Run ``epochs`` training epochs; return (best post-compile epoch
+    tiles/s, per-epoch list). Epoch 0 pays the step/normalize compiles."""
+    from jspsr_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg, result_dir=result_dir
+                      or f"/tmp/bench_e2e/run_{label}")
+    tps_epochs = []
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        trainer.train_one_epoch(epoch)
+        dt = time.perf_counter() - t0
+        tps = trainer.last_throughput
+        tps_epochs.append(tps)
+        print(f"# [{label}] epoch {epoch}: {dt:.2f}s, {tps:.1f} tiles/s",
+              file=sys.stderr, flush=True)
+    return (max(tps_epochs[1:]) if len(tps_epochs) > 1
+            else tps_epochs[0]), tps_epochs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
@@ -47,73 +118,22 @@ def main():
                          "devnorm+prefetch, devnorm+prefetch+pack")
     args = ap.parse_args()
 
-    import jax
-
-    from jspsr_tpu.config.loader import AttrDict
-    from jspsr_tpu.data.synthetic import generate_mini_dfc30
-    from jspsr_tpu.train.trainer import Trainer
-
-    data_root = Path(os.environ.get("BENCH_DATA", "/tmp/bench_e2e")) / "DFC30_8m"
-    if not data_root.exists():
-        t0 = time.perf_counter()
-        generate_mini_dfc30(data_root, train_cities=("Brest",),
-                            valid_cities=("Vannes",),
-                            n_per_city=args.scenes, size=128)
-        print(f"# fixture: {args.scenes} scenes/city in "
-              f"{time.perf_counter() - t0:.1f}s")
-
-    p = AttrDict({
-        "name": "bench_e2e", "verbose": False, "dataset": "DFC30",
-        "dataset_path": str(data_root), "resolution": 8,
-        "train_set": ["Brest"], "valid_set": ["Vannes"],
-        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 10},
-        "mask_channel": list(range(10)),
-        "relative": True, "augment": True, "patch_size": 128,
-        "crop_mode": "random", "patches_per_image": 1,
-        "device_normalize": args.device_normalize,
-        "workers": args.workers, "preload": True,
-        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
-                          "scale_mask": True},
-        "model_name": "JSPSR",
-        "model_kwargs": {"num_block": 2, "num_feature": 32, "spn": True,
-                         "compute_dtype": args.dtype,
-                         "pretrained": False, "checkpoint": None},
-        "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
-        "optimizer": "AdamW",
-        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
-                             "momentum": 0.9, "diff_lr": False},
-        "scheduler": "ConstantLR", "scheduler_kwargs": {},
-        "train_batch_size": args.batch, "epochs": args.epochs,
-        "resume": False, "valid_batch_size": 1,
-        "val_interval": 10**9, "val_start_epoch": 10**9,
-        "metric": {"RMSE": {"package": "local", "min": -80, "max": 929}},
-        "best_metric": "RMSE", "early_stop": {},
-        "seed": 0,
-    })
+    data_root = ensure_fixture(
+        Path(os.environ.get("BENCH_DATA", "/tmp/bench_e2e")) / "DFC30_8m",
+        args.scenes)
+    p = make_config(data_root, args.batch, args.dtype, workers=args.workers,
+                    device_normalize=args.device_normalize,
+                    device_prefetch=not args.no_prefetch,
+                    pack_mask=args.pack_mask)
     # model channels expect 15 mask ch in the flagship shape; the synthetic
     # mask has 15, mask_channel selects 10 like the shipped r8 img+msk cfg
-    p["device_prefetch"] = not args.no_prefetch
-    p["pack_mask"] = args.pack_mask
 
     def run_variant(overrides, label):
         from jspsr_tpu.config.loader import AttrDict as AD
 
         cfg = AD(dict(p))
         cfg.update(overrides)
-        trainer = Trainer(cfg, result_dir=f"/tmp/bench_e2e/run_{label}")
-        tps_epochs = []
-        for epoch in range(args.epochs):
-            t0 = time.perf_counter()
-            trainer.train_one_epoch(epoch)
-            dt = time.perf_counter() - t0
-            n = len(trainer.train_loader) * args.batch
-            tps = trainer.last_throughput
-            tps_epochs.append(tps)
-            print(f"# [{label}] epoch {epoch}: {dt:.2f}s, {tps:.1f} tiles/s "
-                  f"({n} tiles)", flush=True)
-        # epoch 0 pays the compile; report the best of the rest
-        return (max(tps_epochs[1:]) if len(tps_epochs) > 1
-                else tps_epochs[0]), tps_epochs
+        return run_epochs(cfg, args.epochs, label)
 
     variants = {}
     if args.compare:
