@@ -48,36 +48,44 @@ def _trial_stats(trials):
             "best": round(best, 1), "spread_pct": round(spread, 1)}
 
 
-def measure(batch, iters=20, warmup=3, trials=TRIALS, **model_kw):
-    """Chained measurement: each iteration's DEM input depends on the
-    previous prediction, and the final sync is a scalar fetch. This defeats
-    runtimes whose block_until_ready does not actually wait for device
-    completion (observed through the axon tunnel), so the number is a true
-    sequential-execution throughput. One compile, ``trials`` timed repeats —
-    best-of-N absorbs transient host/tunnel contention."""
+def measure(batch, iters=4, warmup=2, trials=TRIALS, inner=10, **model_kw):
+    """Chained measurement: each forward's DEM input depends on the
+    previous prediction (clip + feed back), and the final sync is a scalar
+    fetch. This defeats runtimes whose block_until_ready does not actually
+    wait for device completion (observed through the axon tunnel), so the
+    number is a true sequential-execution throughput. ``inner`` forwards
+    run inside ONE jitted lax.scan so the ~2 ms per-launch tunnel dispatch
+    overhead is amortized (it would otherwise eat ~15 % of a 13 ms
+    forward); the scan carry keeps every forward strictly sequential. One
+    compile, ``trials`` timed repeats — best-of-N absorbs transient
+    host/tunnel contention."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     import __graft_entry__ as g
 
     model, params, bn_state = g._flagship(**model_kw)
     dem, img, msk = g._example_inputs(batch, 128, 128)
 
-    def fn(d, i, m):
-        pred, _ = model(params, bn_state, [d, i, m], train=False)
-        return pred
+    def chain(d):
+        def body(dd, _):
+            pred, _ = model(params, bn_state, [dd, img, msk], train=False)
+            return jnp.clip(pred, 0.05, 0.95), None
+        out, _ = lax.scan(body, d, None, length=inner)
+        return out
 
-    jfn = jax.jit(fn)
+    jfn = jax.jit(chain)
     d = dem
     for _ in range(warmup):
-        d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
+        d = jfn(d)
     float(d[0, 0, 0, 0])
     out = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
-            d = jnp.clip(jfn(d, img, msk), 0.05, 0.95)
+            d = jfn(d)
         float(d[0, 0, 0, 0])  # true device sync
-        out.append(batch * iters / (time.perf_counter() - t0))
+        out.append(batch * iters * inner / (time.perf_counter() - t0))
     return out
 
 

@@ -113,7 +113,7 @@ class DataLoader:
             stop.set()
 
 
-def device_prefetch(iterator, transfer, depth: int = 2):
+def device_prefetch(iterator, transfer, depth: int = 2, host_stage=None):
     """Stage host batches onto the device ``depth`` ahead of the consumer.
 
     ``transfer`` maps a host batch to device arrays (device_put / sharded
@@ -122,8 +122,16 @@ def device_prefetch(iterator, transfer, depth: int = 2):
     consumer's wait on step i: device transfers release the GIL during the
     copy (a network write on the tunneled chip), so even a 1-core host
     overlaps the two (scripts/bench_trainer_e2e.py measures the gain).
-    Order is preserved (single worker, FIFO queue); worker exceptions
-    re-raise in the consumer."""
+    Order is preserved (single worker per stage, FIFO queues); worker
+    exceptions re-raise in the consumer.
+
+    ``host_stage`` (optional) splits the staging into a TWO-thread
+    pipeline: the numpy batch assembly (GIL-bound) runs in its own thread
+    feeding the transfer thread, so the GIL-releasing tunnel write of
+    batch i overlaps the numpy assembly of batch i+1 even on one core —
+    without it one worker runs assembly and transfer serially."""
+    if host_stage is not None:
+        iterator = device_prefetch(iterator, host_stage, depth=depth)
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 

@@ -111,6 +111,10 @@ class Trainer:
         # loop (default on; order-preserving, math-identical — see
         # train_one_epoch). Opt out with `device_prefetch: false`.
         self.prefetch_to_device = bool(p.get("device_prefetch", True))
+        # split the prefetch into assembly + transfer pipeline threads
+        # (measured on the 1-core tunneled host: hides the transfer;
+        # PERF.md "end-to-end Trainer"). Opt out with `prefetch_split: false`.
+        self.prefetch_split = bool(p.get("prefetch_split", True))
         self.device_normalize = bool(p.get("device_normalize"))
         # pack_mask: bit-pack the binary one-hot mask on the host (8x fewer
         # bytes over the tunnel) and unpack inside the fused device
@@ -227,7 +231,7 @@ class Trainer:
         # batch i+1 overlaps the device compute of step i even on a 1-core
         # host, since the transfer releases the GIL. Math is order-identical
         # (FIFO; tests/test_trainer_e2e.py proves loss-trace equality).
-        def stage(batch):
+        def stage_host(batch):
             inputs_np, gt_np, base_elev, _ = build_batch_inputs(
                 batch, p.model_name, p.input_data
             )
@@ -235,19 +239,33 @@ class Trainer:
                 inputs_np = list(inputs_np)
                 inputs_np[self._mask_idx] = pack_mask_np(
                     inputs_np[self._mask_idx])
-            inputs = shard_batch(self.mesh, [np.asarray(x) for x in inputs_np])
-            gt = shard_batch(self.mesh, np.asarray(gt_np))
+            return ([np.asarray(x) for x in inputs_np], np.asarray(gt_np),
+                    np.asarray(base_elev))
+
+        def stage_transfer(staged):
+            inputs_np, gt_np, base_elev = staged
+            inputs = shard_batch(self.mesh, inputs_np)
+            gt = shard_batch(self.mesh, gt_np)
             if self.device_normalize:
                 # raw uint8/float crops in, [0,1] float batches out — one
                 # fused on-device program, dispatched async like the step
                 inputs, gt = self.normalize_batch(
-                    inputs, gt, shard_batch(self.mesh,
-                                            np.asarray(base_elev)))
+                    inputs, gt, shard_batch(self.mesh, base_elev))
             return inputs, gt, gt_np.shape[0]
 
-        batches = (device_prefetch(iter(self.train_loader), stage)
-                   if self.prefetch_to_device
-                   else (stage(b) for b in self.train_loader))
+        def stage(batch):
+            return stage_transfer(stage_host(batch))
+
+        # prefetch_split runs the numpy assembly and the device transfer in
+        # separate pipeline threads: the GIL-releasing tunnel write of
+        # batch i overlaps the assembly of batch i+1 on a 1-core host.
+        if not self.prefetch_to_device:
+            batches = (stage(b) for b in self.train_loader)
+        elif self.prefetch_split:
+            batches = device_prefetch(iter(self.train_loader), stage_transfer,
+                                      host_stage=stage_host)
+        else:
+            batches = device_prefetch(iter(self.train_loader), stage)
         debug_timing = os.environ.get("JSPSR_DEBUG_TIMING")
         t_prev = time.perf_counter()
         for inputs, gt, bs in batches:

@@ -143,11 +143,14 @@ def main():
         for label, ov in (
             ("devnorm_sync", {"device_normalize": True,
                               "device_prefetch": False}),
-            ("devnorm_prefetch", {"device_normalize": True,
-                                  "device_prefetch": True}),
             ("devnorm_prefetch_pack", {"device_normalize": True,
                                        "device_prefetch": True,
+                                       "prefetch_split": False,
                                        "pack_mask": True}),
+            ("devnorm_prefetch_split_pack", {"device_normalize": True,
+                                             "device_prefetch": True,
+                                             "prefetch_split": True,
+                                             "pack_mask": True}),
         ):
             best, epochs_tps = run_variant(ov, label)
             variants[label] = {"best": round(best, 1),
