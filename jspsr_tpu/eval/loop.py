@@ -18,7 +18,7 @@ from jspsr_tpu.data.loader import build_batch_inputs
 from jspsr_tpu.data.normalize import descale_data, scale_data
 from jspsr_tpu.data.raster_io import HAS_RASTERIO, write_raster
 from jspsr_tpu.metrics.meters import PerformanceMeter
-from jspsr_tpu.parallel.mesh import pad_batch_to, shard_batch
+from jspsr_tpu.parallel.mesh import pad_batch_to, replicate_state, shard_batch
 from jspsr_tpu.train.early_stop import AverageMeter
 
 
@@ -117,6 +117,11 @@ def eval_model(
     batch_cfg = int(p.get("valid_batch_size", 1) or 1)
     if mesh is not None and batch_cfg % mesh.devices.size != 0:
         mesh = None  # batch not divisible across chips -> single-device
+    if mesh is not None:
+        # params may live on a DIFFERENT mesh (e.g. the Trainer replicated
+        # them over its own data mesh); jit rejects mixed device sets, so
+        # re-replicate onto the eval mesh
+        params, bn_state = replicate_state(mesh, (params, bn_state))
     mask_idx = None
     if normalize is not None and p.get("pack_mask"):
         from jspsr_tpu.data.loader import input_kinds, pack_mask_np
