@@ -176,7 +176,19 @@ class DFC30:
     def __getitem__(self, index):
         img_idx = index // self.patches_per_image
         tile_idx = index % self.patches_per_image
+        sample = self.raw_scene(img_idx, tile_idx)
+        if self.transform is not None:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, index])
+            )
+            sample = self.transform(sample, TransformCtx(rng, tile_idx))
+        return sample
 
+    def raw_scene(self, img_idx: int, tile_idx: int = 0):
+        """Untransformed full scene (every modality + meta). Split out of
+        __getitem__ so the device-resident scene cache
+        (data/device_cache.py) can stack raw scenes without replaying the
+        host transform pipeline."""
         sample = {}
         lr_dem, profile = self._read(self.files["lr_dem"][img_idx])
         lr_dem = lr_dem.astype(np.float32)
@@ -214,12 +226,6 @@ class DFC30:
             "base": float(np.min(lr_dem)) if self.relative else 0,
             "profile": dict(profile),
         }
-
-        if self.transform is not None:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch, index])
-            )
-            sample = self.transform(sample, TransformCtx(rng, tile_idx))
         return sample
 
     @staticmethod

@@ -54,12 +54,22 @@ class RandomFlipRotate90:
     """Joint rot90/flip augmentation with p=0.5, recorded into meta
     (reference data_utils.py:9-33)."""
 
-    def __call__(self, sample, ctx: TransformCtx):
+    def draw(self, ctx: TransformCtx):
+        """Consume this transform's RNG draws; returns (rot90, flip_lr,
+        flip_ud) or None. Split out so the device-cache path
+        (data/device_cache.py) replays the exact host draw sequence."""
         rng = ctx.rng
         if rng.random() < 0.5:
             angle = int(rng.choice([1, 2, 3]))
             do_lr = bool(rng.choice([True, False]))
             do_ud = bool(rng.choice([True, False]))
+            return angle, do_lr, do_ud
+        return None
+
+    def __call__(self, sample, ctx: TransformCtx):
+        drawn = self.draw(ctx)
+        if drawn is not None:
+            angle, do_lr, do_ud = drawn
             for k in _spatial_keys(sample):
                 tmp = np.rot90(sample[k], angle)
                 tmp = np.fliplr(tmp) if do_lr else tmp
@@ -88,13 +98,22 @@ class RandomCrop:
         self.crop_size = crop_size
         self.scale = scale
 
-    def __call__(self, sample, ctx: TransformCtx):
-        h, w = _ref_size(sample)
+    def draw(self, ctx: TransformCtx, h: int, w: int):
+        """Consume this transform's RNG draws; returns (row0, col0) or None
+        when no crop applies (sample smaller/equal to the crop). Split out
+        so the device-cache path replays the exact host draw sequence."""
         cs = self.crop_size
         if cs > h or cs > w or (cs == h == w):
+            return None
+        return int(ctx.rng.integers(0, h - cs)), int(ctx.rng.integers(0, w - cs))
+
+    def __call__(self, sample, ctx: TransformCtx):
+        h, w = _ref_size(sample)
+        drawn = self.draw(ctx, h, w)
+        if drawn is None:
             return sample
-        _h = int(ctx.rng.integers(0, h - cs))
-        _w = int(ctx.rng.integers(0, w - cs))
+        cs = self.crop_size
+        _h, _w = drawn
         for k in list(sample):
             if k == "hr_img" and self.scale is not None:
                 s = self.scale
@@ -121,6 +140,17 @@ class TileCrop:
         self.crop_size = crop_size
         self.scale = scale
         self.n_tile = n_tile
+
+    def draw(self, ctx: TransformCtx, h: int, w: int):
+        """Deterministic tile window for ctx.tile_index; returns (row0,
+        col0) or None when no crop applies. No RNG draws."""
+        cs = self.crop_size
+        if cs > h or cs > w or (cs == h == w):
+            return None
+        stride, n_tile = get_tile(w, cs, self.n_tile)
+        n_x = int(round(n_tile**0.5))
+        t = ctx.tile_index % n_tile
+        return stride * (t // n_x), stride * (t % n_x)
 
     def __call__(self, sample, ctx: TransformCtx):
         h, w = _ref_size(sample)

@@ -142,6 +142,15 @@ class Trainer:
             from jspsr_tpu.data.normalize import make_device_normalize
 
             self.normalize_batch = make_device_normalize(p)
+        # device_cache: the whole train split lives in HBM as raw scene
+        # stacks; crop+augment+normalize run inside one jitted program per
+        # step and the host ships only a few ints per sample
+        # (data/device_cache.py). Rides the device_normalize math.
+        self.device_cache = bool(p.get("device_cache"))
+        if self.device_cache:
+            assert self.device_normalize, (
+                "device_cache requires device_normalize (it reuses the "
+                "fused on-device normalizer)")
         train_tf, eval_tf = build_transforms(p)
         data_kwargs = {k: v for k, v in p.items() if k != "seed"}
         self.train_set = DFC30(split="train", transform=train_tf,
@@ -157,6 +166,19 @@ class Trainer:
             self.valid_set, p.get("valid_batch_size", 1), shuffle=False,
             num_workers=1,
         )
+
+        self.scene_cache = None
+        if self.device_cache:
+            from jspsr_tpu.data.device_cache import DeviceSceneCache
+
+            self.scene_cache = DeviceSceneCache(self.train_set, p, self.mesh)
+            if self.verbose:
+                import jax.tree_util as jtu
+
+                nbytes = sum(x.nbytes for x in
+                             jtu.tree_leaves(self.scene_cache.scenes))
+                print(f"Device scene cache: {self.train_set.base_len} scenes"
+                      f" ({nbytes / 2**20:.0f} MiB raw) resident in HBM")
 
         self.start_epoch = 0
         self.best_result = None
@@ -259,7 +281,11 @@ class Trainer:
         # prefetch_split runs the numpy assembly and the device transfer in
         # separate pipeline threads: the GIL-releasing tunnel write of
         # batch i overlaps the assembly of batch i+1 on a 1-core host.
-        if not self.prefetch_to_device:
+        if self.scene_cache is not None:
+            # crop+augment+normalize on device from the HBM scene cache —
+            # no host batch assembly, no host->device data movement
+            batches = self.scene_cache.epoch_batches(self.train_loader, epoch)
+        elif not self.prefetch_to_device:
             batches = (stage(b) for b in self.train_loader)
         elif self.prefetch_split:
             batches = device_prefetch(iter(self.train_loader), stage_transfer,

@@ -151,6 +151,9 @@ def main():
                                              "device_prefetch": True,
                                              "prefetch_split": True,
                                              "pack_mask": True}),
+            # HBM-resident scene cache: no host batches at all — per-step
+            # host work is a few ints of crop/aug params + one dispatch
+            ("devcache", {"device_normalize": True, "device_cache": True}),
         ):
             best, epochs_tps = run_variant(ov, label)
             variants[label] = {"best": round(best, 1),
