@@ -171,8 +171,15 @@ class Trainer:
         if self.device_cache:
             from jspsr_tpu.data.device_cache import DeviceSceneCache
 
-            self.scene_cache = DeviceSceneCache(self.train_set, p, self.mesh)
-            if self.verbose:
+            try:
+                self.scene_cache = DeviceSceneCache(self.train_set, p,
+                                                    self.mesh)
+            except (ValueError, AssertionError) as e:
+                # split too big for the HBM budget / non-uniform scene
+                # shapes: fall back to the host raw feed (device_normalize
+                # still applies) rather than refusing to train
+                print(f"[device_cache] falling back to the host feed: {e}")
+            if self.scene_cache is not None and self.verbose:
                 import jax.tree_util as jtu
 
                 nbytes = sum(x.nbytes for x in

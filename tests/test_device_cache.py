@@ -137,6 +137,38 @@ def test_budget_guard(root):
         DeviceSceneCache(ds, p, mesh, budget_gb=1e-6)
 
 
+def test_trainer_budget_fallback(root, tmp_path):
+    """When the split exceeds the HBM budget the Trainer warns and falls
+    back to the host raw feed instead of refusing to train."""
+    from jspsr_tpu.train.trainer import Trainer
+
+    r, train, valid = root
+    p = _config(r, train, valid)
+    p["input_data"] = {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 15}
+    for k, v in {
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8, "spn": False,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1},
+        "optimizer": "Adam",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 0,
+                             "momentum": 0.9, "diff_lr": False},
+        "scheduler": "ConstantLR", "scheduler_kwargs": {},
+        "train_batch_size": 2, "epochs": 1, "valid_batch_size": 1,
+        "val_interval": 1, "val_start_epoch": 1, "workers": 1,
+        "metric": {"RMSE": {"package": "local", "border": 0.05,
+                            "min": -80, "max": 929}},
+        "best_metric": "RMSE", "val_border": 0.05,
+        "device_normalize": True, "device_cache": True,
+        "device_cache_budget_gb": 1e-6,
+    }.items():
+        p[k] = v
+    t = Trainer(p, result_dir=tmp_path / "fallback")
+    assert t.scene_cache is None  # fell back
+    t.train_one_epoch(0)  # host feed still trains
+    assert np.isfinite(t.last_epoch_losses["Total"])
+
+
 def test_trainer_device_cache_matches_host_path(root, tmp_path):
     """Full Trainer epoch from the device cache: loss trace equals the
     host-pipeline trainer (same order, same math)."""
