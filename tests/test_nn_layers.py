@@ -183,3 +183,45 @@ def test_conv2d_s2d_lowering_exact():
     finally:
         L.set_s2d_stride2("auto")
     assert y_odd.shape == (2, 8, 6, 8)
+
+
+def test_conv2d_s1_custom_vjp_exact():
+    """The manual-dgrad VJP for stride-1 3x3 'same' convs (the dgrad is
+    re-expressed as a plain forward conv with the kernel rotated 180 and
+    I/O swapped; PERF.md backward section) computes the identical function
+    and gradients, including non-square channels and under jax.checkpoint."""
+    import jax
+    from jspsr_tpu.nn import layers as L
+
+    for cin, cout in ((6, 6), (6, 10)):
+        conv = L.Conv2d(cin, cout, 3, stride=1, padding=1, bias=True)
+        params, _ = conv.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(np.random.default_rng(1)
+                        .normal(size=(2, 12, 16, cin)).astype(np.float32))
+
+        def run(x, params):
+            y, _ = conv(params, {}, x)
+            return y
+
+        L.set_conv_s1_custom_vjp(False)
+        try:
+            ref = run(x, params)
+            g_ref = jax.grad(lambda x, p: jnp.sum(jnp.tanh(run(x, p))),
+                             argnums=(0, 1))(x, params)
+            L.set_conv_s1_custom_vjp(True)
+            got = run(x, params)
+            g_got = jax.grad(lambda x, p: jnp.sum(jnp.tanh(run(x, p))),
+                             argnums=(0, 1))(x, params)
+            g_ckpt = jax.grad(
+                jax.checkpoint(lambda x, p: jnp.sum(jnp.tanh(run(x, p)))),
+                argnums=(0, 1))(x, params)
+        finally:
+            L.set_conv_s1_custom_vjp(False)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        for variant in (g_got, g_ckpt):
+            for a, b in zip(jax.tree_util.tree_leaves(variant),
+                            jax.tree_util.tree_leaves(g_ref)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-5)
