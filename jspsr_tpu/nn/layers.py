@@ -32,20 +32,20 @@ def _pair(v):
 # for inference-heavy deployments.
 _S2D_STRIDE2 = False
 
-# Custom-VJP lowering of stride-1 3x3 'same' convs: the data gradient of
-# such a conv is EXACTLY another stride-1 3x3 'same' conv with the kernel
+# Custom-VJP lowering of stride-1 odd-k 'same' convs: the data gradient of
+# such a conv is EXACTLY another stride-1 'same' conv with the kernel
 # rotated 180 degrees and I/O swapped. XLA's autodiff dgrad for these
 # shapes measured 1.8x its padded SOL at 64 channels (49 TFLOP/s vs the
 # forward's 132, scripts/bench_bwd_dirs.py) — re-expressing the backward
 # as a plain forward conv recovers forward-level throughput. The weight
 # gradient keeps XLA's own lowering (near SOL already) via jax.vjp.
 # "auto" enables it on non-CPU backends; exact-arithmetic equality with
-# autodiff is tested (tests/test_layers.py).
+# autodiff is tested (tests/test_nn_layers.py).
 _CONV_S1_CUSTOM_VJP = False
 
 
 def set_conv_s1_custom_vjp(mode):
-    """Toggle the manual-dgrad VJP for stride-1 3x3 'same' convs.
+    """Toggle the manual-dgrad VJP for stride-1 odd-k 'same' convs.
 
     True/False force it; "auto" enables it on non-CPU backends."""
     global _CONV_S1_CUSTOM_VJP
@@ -58,10 +58,15 @@ def _conv_s1_vjp_enabled() -> bool:
     return bool(_CONV_S1_CUSTOM_VJP)
 
 
+def _same_pads(w):
+    kh, kw = w.shape[0], w.shape[1]
+    return ((kh // 2, kh // 2), (kw // 2, kw // 2))
+
+
 @jax.custom_vjp
 def conv2d_s1_same(x, w):
-    """Stride-1 3x3 'same' conv with a manual-dgrad backward (see above)."""
-    return lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)),
+    """Stride-1 odd-k 'same' conv with a manual-dgrad backward (see above)."""
+    return lax.conv_general_dilated(x, w, (1, 1), _same_pads(w),
                                     dimension_numbers=_DIMS)
 
 
@@ -73,11 +78,11 @@ def _conv_s1_bwd(res, dy):
     x, w = res
     # dx: rot180 + swap I/O, then a plain forward conv over the cotangent
     wf = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
-    dx = lax.conv_general_dilated(dy, wf, (1, 1), ((1, 1), (1, 1)),
+    dx = lax.conv_general_dilated(dy, wf, (1, 1), _same_pads(w),
                                   dimension_numbers=_DIMS)
     # dw: reuse XLA's wgrad lowering (the unused primal is DCE'd under jit)
     _, vjp_w = jax.vjp(
-        lambda ww: lax.conv_general_dilated(x, ww, (1, 1), ((1, 1), (1, 1)),
+        lambda ww: lax.conv_general_dilated(x, ww, (1, 1), _same_pads(w),
                                             dimension_numbers=_DIMS), w)
     (dw,) = vjp_w(dy)
     return dx, dw
@@ -184,8 +189,10 @@ class Conv2d(Module):
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and _s2d_enabled()):
             y = conv2d_s2_std(x, w)
-        elif (self.stride == (1, 1) and self.kernel_size == (3, 3)
-                and (ph, pw) == (1, 1) and self.groups == 1
+        elif (self.stride == (1, 1) and self.groups == 1
+                and self.kernel_size[0] % 2 == 1 and self.kernel_size[0] > 1
+                and self.kernel_size[0] == self.kernel_size[1]
+                and (ph, pw) == (self.kernel_size[0] // 2,) * 2
                 and _conv_s1_vjp_enabled()):
             y = conv2d_s1_same(x, w)
         else:

@@ -193,8 +193,8 @@ def test_conv2d_s1_custom_vjp_exact():
     import jax
     from jspsr_tpu.nn import layers as L
 
-    for cin, cout in ((6, 6), (6, 10)):
-        conv = L.Conv2d(cin, cout, 3, stride=1, padding=1, bias=True)
+    for cin, cout, k in ((6, 6, 3), (6, 10, 3), (4, 7, 5)):
+        conv = L.Conv2d(cin, cout, k, stride=1, padding=k // 2, bias=True)
         params, _ = conv.init(jax.random.PRNGKey(1))
         x = jnp.asarray(np.random.default_rng(1)
                         .normal(size=(2, 12, 16, cin)).astype(np.float32))
