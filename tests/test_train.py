@@ -416,6 +416,47 @@ def test_spatial_sharded_gradients_match():
     assert np.abs(a - b).max() < 1e-3
 
 
+def test_spatial_sharded_gradients_with_conv_vjp():
+    """The manual-dgrad conv VJP (nn.layers.conv2d_s1_same) composes with
+    H-sharding: the backward's flipped forward conv must get the same halo
+    exchange as autodiff's dgrad. Forced on (its TPU-only "auto" default
+    means the CPU dryrun never exercises this combination otherwise)."""
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.nn import layers as L
+    from jspsr_tpu.parallel.mesh import make_2d_mesh, spatial_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model, params, bn, inputs, gt = _tiny_model_and_data(8)
+    criterion = build_criterion({"L1": 1, "L2": 1})
+    mesh = make_2d_mesh(2, 2, jax.devices()[:4])
+    sh = spatial_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def grads(prm, d, i, g):
+        def loss(q):
+            pred, _ = model(q, bn, [d, i], train=True)
+            return criterion(pred, g)["Total"]
+        return jax.grad(loss)(prm)
+
+    L.set_conv_s1_custom_vjp(True)
+    try:
+        g_sh = jax.jit(grads)(params, jax.device_put(inputs[0], sh),
+                              jax.device_put(inputs[1], sh),
+                              jax.device_put(gt, sh))
+    finally:
+        L.set_conv_s1_custom_vjp(False)
+    g_rp = jax.jit(grads)(params, jax.device_put(inputs[0], rep),
+                          jax.device_put(inputs[1], rep),
+                          jax.device_put(gt, rep))
+    a = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g_sh)])
+    b = np.concatenate([np.asarray(x).ravel()
+                        for x in jax.tree_util.tree_leaves(g_rp)])
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
+    assert close.mean() > 0.99  # deform floor-flip tolerance (see DP test)
+    assert np.abs(a - b).max() < 1e-3
+
+
 def test_monitor_ranges_in_train_step():
     from jspsr_tpu.losses import build_criterion
 
