@@ -63,6 +63,35 @@ def _same_pads(w):
     return ((kh // 2, kh // 2), (kw // 2, kw // 2))
 
 
+# Optional wgrad re-expression for conv2d_s1_same: one dot_general over
+# im2col patches (contract B*H*W — an MXU-shaped reduction) instead of
+# XLA's conv-form wgrad, which measured 1.53x its padded SOL at the SPN
+# generator's 128-ch full-res shape (scripts/bench_bwd_dirs.py). Gated
+# separately from the dgrad flip because it materializes the 9 shifted
+# views of x; the probe (scripts/bench_dgrad_manual.py wg_dot) decides.
+_CONV_S1_WGRAD_DOT = False
+
+
+def set_conv_s1_wgrad_dot(on: bool):
+    global _CONV_S1_WGRAD_DOT
+    _CONV_S1_WGRAD_DOT = on
+
+
+def _wgrad_dot(x, dy, kh, kw):
+    """dw[kh,kw,i,o] = sum_bhw xpad[b,h+kh,w+kw,i] * dy[b,h,w,o]."""
+    b, h, w, cin = x.shape
+    cout = dy.shape[-1]
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    cols = [xp[:, i:i + h, j:j + w, :]
+            for i in range(kh) for j in range(kw)]
+    pat = jnp.stack(cols, 0).reshape(kh * kw, b * h * w, cin)
+    gfl = dy.reshape(b * h * w, cout)
+    dw = lax.dot_general(pat, gfl, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    return dw.reshape(kh, kw, cin, cout).astype(dy.dtype)
+
+
 @jax.custom_vjp
 def conv2d_s1_same(x, w):
     """Stride-1 odd-k 'same' conv with a manual-dgrad backward (see above)."""
@@ -80,11 +109,15 @@ def _conv_s1_bwd(res, dy):
     wf = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
     dx = lax.conv_general_dilated(dy, wf, (1, 1), _same_pads(w),
                                   dimension_numbers=_DIMS)
-    # dw: reuse XLA's wgrad lowering (the unused primal is DCE'd under jit)
-    _, vjp_w = jax.vjp(
-        lambda ww: lax.conv_general_dilated(x, ww, (1, 1), _same_pads(w),
-                                            dimension_numbers=_DIMS), w)
-    (dw,) = vjp_w(dy)
+    # dw: XLA's wgrad lowering by default (the unused primal is DCE'd under
+    # jit); optionally the im2col dot_general form (see _CONV_S1_WGRAD_DOT)
+    if _CONV_S1_WGRAD_DOT:
+        dw = _wgrad_dot(x, dy, w.shape[0], w.shape[1]).astype(w.dtype)
+    else:
+        _, vjp_w = jax.vjp(
+            lambda ww: lax.conv_general_dilated(x, ww, (1, 1), _same_pads(w),
+                                                dimension_numbers=_DIMS), w)
+        (dw,) = vjp_w(dy)
     return dx, dw
 
 

@@ -36,23 +36,29 @@ def main():
         ("fp32_b16", dict(batch=16)),
         ("bf16_b48", dict(batch=48, compute_dtype="bfloat16")),
     ]
+    variants = [("vjp_off", False, False), ("vjp_on", True, False),
+                ("vjp_wgdot", True, True)]
     for tag, kw in cases:
         out = {"case": tag}
-        for mode in (False, True):
-            L.set_conv_s1_custom_vjp(mode)
+        for key, flip, wgdot in variants:
+            L.set_conv_s1_custom_vjp(flip)
+            L.set_conv_s1_wgrad_dot(wgdot)
             try:
                 r = measure(iters=args.iters, **kw)
-                key = "vjp_on" if mode else "vjp_off"
                 out[key] = {"step_ms": r["step_ms"],
                             "tiles_per_sec": r["tiles_per_sec"],
                             "compile_s": r["compile_s"]}
             except Exception as e:
-                out["error"] = f"{mode}: {str(e)[:300]}"
-                break
+                out.setdefault("errors", {})[key] = str(e)[:300]
         L.set_conv_s1_custom_vjp(False)
+        L.set_conv_s1_wgrad_dot(False)
         if "vjp_on" in out and "vjp_off" in out:
             out["speedup"] = round(out["vjp_on"]["tiles_per_sec"] /
                                    out["vjp_off"]["tiles_per_sec"], 4)
+        if "vjp_wgdot" in out and "vjp_off" in out:
+            out["speedup_wgdot"] = round(
+                out["vjp_wgdot"]["tiles_per_sec"] /
+                out["vjp_off"]["tiles_per_sec"], 4)
         print(json.dumps(out), flush=True)
 
 

@@ -215,13 +215,19 @@ def test_conv2d_s1_custom_vjp_exact():
             g_ckpt = jax.grad(
                 jax.checkpoint(lambda x, p: jnp.sum(jnp.tanh(run(x, p)))),
                 argnums=(0, 1))(x, params)
+            L.set_conv_s1_wgrad_dot(True)
+            g_dot = jax.grad(lambda x, p: jnp.sum(jnp.tanh(run(x, p))),
+                             argnums=(0, 1))(x, params)
         finally:
             L.set_conv_s1_custom_vjp(False)
+            L.set_conv_s1_wgrad_dot(False)
 
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
-        for variant in (g_got, g_ckpt):
+        # g_dot's weight grad reassociates the B*H*W reduction (im2col dot
+        # vs conv-form wgrad) — fp32 tolerance covers the reorder only
+        for variant, tol in ((g_got, 1e-5), (g_ckpt, 1e-5), (g_dot, 1e-4)):
             for a, b in zip(jax.tree_util.tree_leaves(variant),
                             jax.tree_util.tree_leaves(g_ref)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                           rtol=1e-5, atol=1e-5)
+                                           rtol=tol, atol=tol)
