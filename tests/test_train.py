@@ -165,6 +165,39 @@ def test_train_step_reduces_loss():
     )
 
 
+def test_train_trace_with_conv_vjp_matches():
+    """Multi-step training with the manual-dgrad conv VJP on tracks the
+    autodiff-lowering trace (integration check beyond the one-shot
+    gradient-equality test: optimizer state, BN stats and loss evolve
+    through 8 steps with only fp reorder noise)."""
+    from jspsr_tpu.losses import build_criterion
+    from jspsr_tpu.nn import layers as L
+
+    model, params, bn, inputs, gt = _tiny_model_and_data()
+    p = _p()
+    criterion = build_criterion({"L1": 1, "L2": 1, "Grad": 0.1})
+
+    def run():
+        opt = build_optimizer(p, params)
+        state = TrainState(params, bn, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = make_train_step(model, criterion, opt, donate=False)
+        set_learning_rate(state.opt_state, 1e-3)
+        trace = []
+        for _ in range(8):
+            state, losses = step(state, inputs, gt)
+            trace.append(float(losses["Total"]))
+        return trace
+
+    ref = run()
+    L.set_conv_s1_custom_vjp(True)
+    try:
+        got = run()
+    finally:
+        L.set_conv_s1_custom_vjp(False)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from jspsr_tpu.losses import build_criterion
 
