@@ -129,7 +129,28 @@ def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
     return [best]
 
 
+def _arm_watchdog():
+    """A dead axon relay makes the first jit hang forever in PJRT client
+    init (connection-refused retry loop — see PERF.md measurement notes).
+    Fail loudly with a diagnosis instead of hanging the capture."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG_S", "5400"))
+
+    def fire():
+        print(f"# BENCH WATCHDOG: no completion after {limit:.0f}s — "
+              f"TPU tunnel likely down (check `curl 127.0.0.1:8083`); "
+              f"no JSON emitted rather than a bogus number", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     points = {}
 
     def probe(name, fn, *args, **kw):
