@@ -39,9 +39,13 @@ _S2D_STRIDE2 = False
 # forward's 132, scripts/bench_bwd_dirs.py) — re-expressing the backward
 # as a plain forward conv recovers forward-level throughput. The weight
 # gradient keeps XLA's own lowering (near SOL already) via jax.vjp.
-# "auto" enables it on non-CPU backends; exact-arithmetic equality with
-# autodiff is tested (tests/test_nn_layers.py).
-_CONV_S1_CUSTOM_VJP = False
+# "auto" (default) enables it on non-CPU backends: the flip dgrad is
+# byte-identical HLO to the forward conv of the same shape (measured
+# 2.7x faster than autodiff's transposed form at 64ch), so the expected
+# downside is ~zero; exact-arithmetic equality with autodiff is tested
+# (tests/test_nn_layers.py), mesh/halo + train-trace equality in
+# tests/test_train.py. Step-level A/B: scripts/bench_conv_vjp_step.py.
+_CONV_S1_CUSTOM_VJP = "auto"
 
 
 def set_conv_s1_custom_vjp(mode):
