@@ -35,17 +35,18 @@ _S2D_STRIDE2 = False
 # Custom-VJP lowering of stride-1 odd-k 'same' convs: the data gradient of
 # such a conv is EXACTLY another stride-1 'same' conv with the kernel
 # rotated 180 degrees and I/O swapped. XLA's autodiff dgrad for these
-# shapes measured 1.8x its padded SOL at 64 channels (49 TFLOP/s vs the
-# forward's 132, scripts/bench_bwd_dirs.py) — re-expressing the backward
-# as a plain forward conv recovers forward-level throughput. The weight
-# gradient keeps XLA's own lowering (near SOL already) via jax.vjp.
-# "auto" (default) enables it on non-CPU backends: the flip dgrad is
-# byte-identical HLO to the forward conv of the same shape (measured
-# 2.7x faster than autodiff's transposed form at 64ch), so the expected
-# downside is ~zero; exact-arithmetic equality with autodiff is tested
+# shapes measured 1.8x its padded SOL at 64 channels in ISOLATION (49
+# TFLOP/s vs the forward's 132, scripts/bench_bwd_dirs.py), which motivated
+# re-expressing the backward as a plain forward conv. The step-level A/B
+# (scripts/bench_conv_vjp_step.py, v5e) showed the isolation win does NOT
+# transfer to the fused program: flagship train step fp32 b16 0.973x
+# (89.74 -> 92.22 ms) and bf16 b48 0.997x — defining custom_vjp boundaries
+# around every conv blocks XLA's cross-op fusion and costs more than the
+# dgrad lowering saved. Default OFF everywhere; kept as an opt-in probe
+# lever. Exact-arithmetic equality with autodiff is tested
 # (tests/test_nn_layers.py), mesh/halo + train-trace equality in
-# tests/test_train.py. Step-level A/B: scripts/bench_conv_vjp_step.py.
-_CONV_S1_CUSTOM_VJP = "auto"
+# tests/test_train.py.
+_CONV_S1_CUSTOM_VJP = False
 
 
 def set_conv_s1_custom_vjp(mode):
