@@ -46,21 +46,39 @@ _S2D_STRIDE2 = False
 # lever. Exact-arithmetic equality with autodiff is tested
 # (tests/test_nn_layers.py), mesh/halo + train-trace equality in
 # tests/test_train.py.
+#
+# max_ch refinement: the dgrad outlier is confined to NARROW convs (the
+# wide shapes already run at 0.96-1.3x SOL), so wrapping wide convs pays
+# the fusion-boundary tax for zero dgrad win. set_conv_s1_custom_vjp's
+# max_ch arg restricts the wrap to convs with max(Cin, Cout) <= max_ch.
 _CONV_S1_CUSTOM_VJP = False
+_CONV_S1_VJP_MAX_CH = None
 
 
-def set_conv_s1_custom_vjp(mode):
+def set_conv_s1_custom_vjp(mode, max_ch=None):
     """Toggle the manual-dgrad VJP for stride-1 odd-k 'same' convs.
 
-    True/False force it; "auto" enables it on non-CPU backends."""
-    global _CONV_S1_CUSTOM_VJP
+    True/False force it; "auto" enables it on non-CPU backends.
+    max_ch (optional int) restricts it to convs whose max(Cin, Cout)
+    <= max_ch — the narrow shapes where XLA's dgrad lowering is the
+    measured outlier."""
+    global _CONV_S1_CUSTOM_VJP, _CONV_S1_VJP_MAX_CH
     _CONV_S1_CUSTOM_VJP = mode
+    _CONV_S1_VJP_MAX_CH = max_ch
 
 
 def _conv_s1_vjp_enabled() -> bool:
     if _CONV_S1_CUSTOM_VJP == "auto":
         return jax.default_backend() not in ("cpu",)
     return bool(_CONV_S1_CUSTOM_VJP)
+
+
+def _conv_s1_vjp_wraps(cin: int, cout: int) -> bool:
+    if not _conv_s1_vjp_enabled():
+        return False
+    if _CONV_S1_VJP_MAX_CH is None:
+        return True
+    return max(cin, cout) <= _CONV_S1_VJP_MAX_CH
 
 
 def _same_pads(w):
@@ -231,7 +249,7 @@ class Conv2d(Module):
                 and self.kernel_size[0] % 2 == 1 and self.kernel_size[0] > 1
                 and self.kernel_size[0] == self.kernel_size[1]
                 and (ph, pw) == (self.kernel_size[0] // 2,) * 2
-                and _conv_s1_vjp_enabled()):
+                and _conv_s1_vjp_wraps(self.in_channels, self.out_channels)):
             y = conv2d_s1_same(x, w)
         else:
             y = lax.conv_general_dilated(

@@ -36,12 +36,18 @@ def main():
         ("fp32_b16", dict(batch=16)),
         ("bf16_b48", dict(batch=48, compute_dtype="bfloat16")),
     ]
-    variants = [("vjp_off", False, False), ("vjp_on", True, False),
-                ("vjp_wgdot", True, True)]
+    # (key, mode, max_ch, wgrad_dot). max_ch=64 restricts the manual dgrad
+    # to the narrow convs where XLA's lowering is the measured 1.8x-SOL
+    # outlier (stage-1 body, SPN weight path) so wide convs keep full fusion.
+    # vjp_on (all convs, 0.973x/0.997x) and vjp_wgdot (0.29-0.45x) are
+    # already recorded in PERF.md; the sweep now probes the selective wraps.
+    variants = [("vjp_off", False, None, False),
+                ("vjp_max64", True, 64, False),
+                ("vjp_max128", True, 128, False)]
     for tag, kw in cases:
         out = {"case": tag}
-        for key, flip, wgdot in variants:
-            L.set_conv_s1_custom_vjp(flip)
+        for key, flip, max_ch, wgdot in variants:
+            L.set_conv_s1_custom_vjp(flip, max_ch=max_ch)
             L.set_conv_s1_wgrad_dot(wgdot)
             try:
                 r = measure(iters=args.iters, **kw)
@@ -52,13 +58,12 @@ def main():
                 out.setdefault("errors", {})[key] = str(e)[:300]
         L.set_conv_s1_custom_vjp(False)
         L.set_conv_s1_wgrad_dot(False)
-        if "vjp_on" in out and "vjp_off" in out:
-            out["speedup"] = round(out["vjp_on"]["tiles_per_sec"] /
-                                   out["vjp_off"]["tiles_per_sec"], 4)
-        if "vjp_wgdot" in out and "vjp_off" in out:
-            out["speedup_wgdot"] = round(
-                out["vjp_wgdot"]["tiles_per_sec"] /
-                out["vjp_off"]["tiles_per_sec"], 4)
+        base = out.get("vjp_off", {}).get("tiles_per_sec")
+        if base:
+            for key, *_ in variants[1:]:
+                if key in out:
+                    out[f"speedup_{key}"] = round(
+                        out[key]["tiles_per_sec"] / base, 4)
         print(json.dumps(out), flush=True)
 
 

@@ -231,3 +231,31 @@ def test_conv2d_s1_custom_vjp_exact():
                             jax.tree_util.tree_leaves(g_ref)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=tol, atol=tol)
+
+
+def test_conv2d_s1_custom_vjp_max_ch_gate():
+    """set_conv_s1_custom_vjp(mode, max_ch=N) restricts the manual-dgrad
+    wrap to convs with max(Cin, Cout) <= N (the narrow shapes where XLA's
+    dgrad lowering was the measured outlier; PERF.md)."""
+    from jspsr_tpu.nn import layers as L
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 8, 8, 6)).astype(np.float32))
+
+    def jaxpr_wraps(cin, cout):
+        conv = L.Conv2d(cin, cout, 3, stride=1, padding=1, bias=False)
+        params, _ = conv.init(jax.random.PRNGKey(0))
+        xx = x[..., :cin] if cin <= 6 else jnp.tile(x, (1, 1, 1, 2))[..., :cin]
+        jaxpr = jax.make_jaxpr(lambda a: conv(params, {}, a)[0])(xx)
+        return "custom_vjp_call" in str(jaxpr)
+
+    try:
+        L.set_conv_s1_custom_vjp(True, max_ch=6)
+        assert jaxpr_wraps(6, 6)
+        assert not jaxpr_wraps(6, 10)  # cout exceeds the cap
+        L.set_conv_s1_custom_vjp(True)  # no cap: wraps everything
+        assert jaxpr_wraps(6, 10)
+        L.set_conv_s1_custom_vjp(False)
+        assert not jaxpr_wraps(6, 6)
+    finally:
+        L.set_conv_s1_custom_vjp(False)
