@@ -187,6 +187,15 @@ class Trainer:
                 print(f"Device scene cache: {self.train_set.base_len} scenes"
                       f" ({nbytes / 2**20:.0f} MiB raw) resident in HBM")
 
+        # profile_steps: N > 0 captures a jax.profiler trace of the first N
+        # train steps (first trained epoch) into <result_dir>/profile —
+        # TensorBoard/Perfetto-loadable. The reference's only profiling was
+        # the ad-hoc ms/peak-MB probe in utils/utils.py:1630-1636; this is
+        # the TPU-idiomatic replacement (XLA op-level timeline when the
+        # backend exposes device tracing; host timeline always).
+        self._profile_steps = int(p.get("profile_steps") or 0)
+        self._profiled = False
+
         self.start_epoch = 0
         self.best_result = None
         self.metrics = MetricLogger(
@@ -300,11 +309,25 @@ class Trainer:
         else:
             batches = device_prefetch(iter(self.train_loader), stage)
         debug_timing = os.environ.get("JSPSR_DEBUG_TIMING")
+        profiling = 0  # steps left in an active profiler trace
+        if self._profile_steps and not self._profiled:
+            jax.profiler.start_trace(str(self.result_dir / "profile"))
+            profiling = self._profile_steps
+            self._profiled = True
         t_prev = time.perf_counter()
         for inputs, gt, bs in batches:
             if debug_timing:
                 t_fetch = time.perf_counter() - t_prev
             self.state, losses = self.train_step(self.state, inputs, gt)
+            if profiling:
+                profiling -= 1
+                if profiling == 0:
+                    # sync so the traced window contains real device work
+                    jax.block_until_ready(losses)
+                    jax.profiler.stop_trace()
+                    if self.verbose:
+                        print(f"Profiler trace ({self._profile_steps} steps)"
+                              f" -> {self.result_dir / 'profile'}")
             if debug_timing:
                 t_now = time.perf_counter()
                 print(f"## batch fetch {t_fetch * 1e3:.0f}ms "
@@ -319,6 +342,8 @@ class Trainer:
                 loss_sums = {k: loss_sums[k] + v * bs
                              for k, v in step_losses.items()}
             n_samples += bs
+        if profiling:  # epoch shorter than profile_steps: close the trace
+            jax.profiler.stop_trace()
         t_sync0 = time.perf_counter()
         self.last_epoch_losses = (
             {k: float(v) / n_samples for k, v in loss_sums.items()}

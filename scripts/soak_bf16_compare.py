@@ -35,7 +35,8 @@ from jspsr_tpu.data.synthetic import generate_mini_dfc30
 from jspsr_tpu.train.trainer import Trainer
 
 
-def make_config(root, train, valid, epochs, compute_dtype, r3=False):
+def make_config(root, train, valid, epochs, compute_dtype, r3=False,
+                device_cache=False):
     return AttrDict({
         "name": f"bf16_gate_{compute_dtype or 'fp32'}", "dataset": "DFC30",
         "dataset_path": str(root), "resolution": 3 if r3 else 8,
@@ -67,10 +68,13 @@ def make_config(root, train, valid, epochs, compute_dtype, r3=False):
         "best_metric": "RMSE", "val_border": 0.05,
         "early_stop": {"patience": None, "monitor": "val_rmse"},
         "verbose": False, "seed": 0,
+        # --device-cache: soak the shipped fast feed (HBM-resident scene
+        # cache; device_normalize is its prerequisite raw-feed math)
+        "device_normalize": device_cache, "device_cache": device_cache,
     })
 
 
-def main(epochs: int = 40, r3: bool = False):
+def main(epochs: int = 40, r3: bool = False, device_cache: bool = False):
     tmp = Path(tempfile.mkdtemp(prefix="jspsr_bf16_gate_"))
     if r3:
         # r3 tiled protocol: 334^2 scenes, 9 TileCrops each, mosaic summary
@@ -87,7 +91,7 @@ def main(epochs: int = 40, r3: bool = False):
     results = {}
     for tag, cdt in (("fp32", None), ("bf16", "bfloat16")):
         trainer = Trainer(make_config(root, train, valid, epochs, cdt,
-                                      r3=r3),
+                                      r3=r3, device_cache=device_cache),
                           result_dir=tmp / f"run_{tag}")
         out = trainer.fit(initial_eval=False)
         final = out["result"]
@@ -123,4 +127,5 @@ def main(epochs: int = 40, r3: bool = False):
 
 if __name__ == "__main__":
     epochs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
-    raise SystemExit(main(epochs, r3="--r3" in sys.argv))
+    raise SystemExit(main(epochs, r3="--r3" in sys.argv,
+                          device_cache="--device-cache" in sys.argv))

@@ -260,3 +260,16 @@ def test_device_normalize_matches_host_path(env, tmp_path):
                                r_host["input"]["RMSE"], rtol=1e-5)
     np.testing.assert_allclose(r_dev["input"]["PSNR"],
                                r_host["input"]["PSNR"], rtol=1e-5)
+
+
+def test_profile_steps_writes_trace(env, tmp_path):
+    """profile_steps: N captures a jax.profiler trace of the first N train
+    steps into <result_dir>/profile (the TPU-idiomatic replacement for the
+    reference's ad-hoc ms/MB probe, utils/utils.py:1630-1636)."""
+    p = AttrDict({**env, "epochs": 1, "profile_steps": 2,
+                  "val_interval": 99, "name": "profile_test"})
+    tr = Trainer(p, result_dir=tmp_path / "run")
+    tr.fit(initial_eval=False)
+    prof = tmp_path / "run" / "profile"
+    traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.pb"))
+    assert traces, f"no profiler artifacts under {prof}"
