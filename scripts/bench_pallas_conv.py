@@ -41,15 +41,18 @@ def _kernel(bh, w, cin, cout, kk):
     constant in the row axis, so the pipeline skips the re-fetch); the
     (bh*W, kk*kk*Cin) patch matrix exists only in VMEM."""
 
-    def kernel(x_ref, w_ref, out_ref):
+    def kernel(x_ref, w_ref, out_ref, pm_ref):
         i = pl.program_id(1)
-        # (bh+kk-1, W+kk-1, Cin) strip of the resident padded image
-        strip = x_ref[0, pl.ds(i * bh, bh + kk - 1)]
-        taps = [strip[dy:dy + bh, dx:dx + w, :]
-                for dy in range(kk) for dx in range(kk)]
-        patches = jnp.concatenate(taps, axis=-1)  # (bh, W, kk*kk*Cin)
-        pm = patches.reshape(bh * w, kk * kk * cin)
-        out = jnp.dot(pm, w_ref[...], preferred_element_type=jnp.float32)
+        # build the (bh*W, kk*kk*Cin) patch matrix in VMEM scratch: per-tap
+        # stores force the relayout Mosaic cannot express as a lane-concat
+        # of shift-offset slices ("offset mismatch on non-concat dimension")
+        for dy in range(kk):
+            for dx in range(kk):
+                t = dy * kk + dx
+                tap = x_ref[0, pl.ds(i * bh + dy, bh), pl.ds(dx, w), :]
+                pm_ref[:, t * cin:(t + 1) * cin] = tap.reshape(bh * w, cin)
+        out = jnp.dot(pm_ref[:], w_ref[...],
+                      preferred_element_type=jnp.float32)
         out_ref[0] = out.reshape(bh, w, cout).astype(out_ref.dtype)
 
     return kernel
@@ -78,6 +81,7 @@ def pallas_conv_same(x, w, bh: int = 8, kk: int = 3):
         out_specs=pl.BlockSpec((1, bh, wd, cout), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bh * wd, kk * kk * cin), x.dtype)],
         interpret=jax.default_backend() == "cpu",
     )(xp, wm)
 
