@@ -132,13 +132,18 @@ def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
 def _arm_watchdog():
     """A dead axon relay makes the first jit hang forever in PJRT client
     init (connection-refused retry loop — see PERF.md measurement notes).
-    Fail loudly with a diagnosis instead of hanging the capture."""
+    Fail loudly with a diagnosis instead of hanging the capture. Returns
+    the timer so the caller can DISARM it once the first probe completes:
+    the hazard it guards is specifically the never-returning first jit,
+    and a cold-cache full capture (many compiles + fixture generation +
+    a possible CPU-baseline subprocess) can legitimately exceed any
+    single static deadline."""
     import threading
 
     limit = float(os.environ.get("BENCH_WATCHDOG_S", "5400"))
 
     def fire():
-        print(f"# BENCH WATCHDOG: no completion after {limit:.0f}s — "
+        print(f"# BENCH WATCHDOG: no first measurement after {limit:.0f}s — "
               f"TPU tunnel likely down (check `curl 127.0.0.1:8083`); "
               f"no JSON emitted rather than a bogus number", file=sys.stderr,
               flush=True)
@@ -147,10 +152,11 @@ def _arm_watchdog():
     t = threading.Timer(limit, fire)
     t.daemon = True
     t.start()
+    return t
 
 
 def main():
-    _arm_watchdog()
+    watchdog = _arm_watchdog()
     points = {}
 
     def probe(name, fn, *args, **kw):
@@ -159,6 +165,7 @@ def main():
         except Exception as e:  # OOM guard at large batch
             print(f"# {name} failed: {e}", file=sys.stderr)
             return None
+        watchdog.cancel()  # tunnel provably up: first probe completed
         stats = _trial_stats(trials)
         points[name] = stats
         print(f"# {name}: {stats['best']} t/s "

@@ -218,7 +218,13 @@ class DeviceSceneCache:
     def epoch_batches(self, loader, epoch: int):
         """Yield (inputs, gt, batch_size) in the loader's exact epoch order
         (same shuffle stream), matching train_one_epoch's staging contract.
-        The caller must have run loader.set_epoch(epoch)."""
+        The caller must have run loader.set_epoch(epoch) — enforced below:
+        a desynced epoch would shuffle with one epoch and seed the
+        crop/augment replay with another, silently breaking the
+        bit-identity with the host pipeline."""
+        assert getattr(loader, "epoch", epoch) == epoch, (
+            f"epoch_batches(epoch={epoch}) but loader.set_epoch set "
+            f"{loader.epoch} — shuffle order and RNG replay would desync")
         for batch_idx in loader._batches():
             inputs, gt = self.sample_batch(batch_idx, epoch)
             yield inputs, gt, len(batch_idx)

@@ -113,14 +113,18 @@ def model_stride_multiple(p) -> int:
             "edsr": 1}.get(p.model_name.lower(), 8)
 
 
-def pad_to_multiple(img: np.ndarray, mult: int):
-    """Pad HWC so each dim is the next multiple of ``mult`` (mirror).
-    Returns (padded, (t, b, l, r))."""
-    h, w, _ = img.shape
+def pads_for_multiple(h: int, w: int, mult: int):
+    """(t, b, l, r) pads taking (h, w) to the next multiples of ``mult``."""
     nh = -(-h // mult) * mult if mult > 1 else h
     nw = -(-w // mult) * mult if mult > 1 else w
     dh, dw = nh - h, nw - w
-    pads = (dh // 2, dh - dh // 2, dw // 2, dw - dw // 2)
+    return (dh // 2, dh - dh // 2, dw // 2, dw - dw // 2)
+
+
+def pad_to_multiple(img: np.ndarray, mult: int):
+    """Pad HWC so each dim is the next multiple of ``mult`` (mirror).
+    Returns (padded, (t, b, l, r))."""
+    pads = pads_for_multiple(img.shape[0], img.shape[1], mult)
     return _pad_hwc(img, pads), pads
 
 
@@ -132,9 +136,10 @@ def upscale_dem(forward_fn, sample: dict, p):
     """
     s = dict(sample)
     mult = model_stride_multiple(p)
-    # pads derive from the LR DEM; every modality shares its HxW
+    # pads derive from the LR DEM's shape; every modality shares its HxW
     # (validated in load_scene), so one pad spec applies to all
-    _, pads = pad_to_multiple(np.asarray(s["lr_dem"]), mult)
+    h0, w0 = np.asarray(s["lr_dem"]).shape[:2]
+    pads = pads_for_multiple(h0, w0, mult)
     for k in list(s):
         if k != "meta":
             s[k] = _pad_hwc(np.asarray(s[k]), pads)
@@ -254,13 +259,22 @@ def load_scene(path, p):
         arr = read_raster(f)
         if key == "image":
             # ToArray divides images by 255 (transforms.py ToArray, the
-            # reference's uint8 convention) — deliver 0-255 here. The range
-            # is decided by DTYPE, not a value heuristic: uint8 rasters
-            # pass through; float rasters are assumed [0,1] unless the
-            # config says otherwise via ``infer_image_range: "255"``.
+            # reference's uint8 convention) — deliver 0-255 here. uint8
+            # rasters are decided by DTYPE (a legitimately near-black
+            # uint8 image must NOT be rescaled); float rasters are
+            # ambiguous — values > 1.5 mean a 0-255-valued float (e.g. a
+            # resampled orthophoto), otherwise [0,1]. The config overrides
+            # either way via ``infer_image_range: "255" | "unit"``.
             rng_mode = p.get("infer_image_range")
             if rng_mode is None:
-                rng_mode = "255" if arr.dtype == np.uint8 else "unit"
+                if arr.dtype == np.uint8:
+                    rng_mode = "255"
+                else:
+                    rng_mode = "255" if float(arr.max()) > 1.5 else "unit"
+                    print(f"--infer: float image raster {f} assumed "
+                          f"{'0-255' if rng_mode == '255' else '[0,1]'}-"
+                          f"valued (max={float(arr.max()):.3g}); set "
+                          f"infer_image_range to override")
             arr = arr.astype(np.float32)
             if str(rng_mode) == "unit":
                 arr = arr * 255.0

@@ -51,7 +51,13 @@ def resolve_pretrained_path(spec, cache_dir=None) -> str:
     if not dest.exists():
         tmp = dest.with_suffix(dest.suffix + ".part")
         try:
-            urllib.request.urlretrieve(spec, tmp)
+            # socket timeout: a host that accepts the connection but never
+            # sends would otherwise hang Trainer construction forever
+            import shutil
+
+            with urllib.request.urlopen(spec, timeout=60) as r, \
+                    open(tmp, "wb") as f:
+                shutil.copyfileobj(r, f)
         except Exception as e:
             raise FileNotFoundError(
                 f"could not fetch pretrained checkpoint {spec}: {e} "

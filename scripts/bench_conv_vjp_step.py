@@ -51,11 +51,22 @@ def main():
             L.set_conv_s1_wgrad_dot(wgdot)
             try:
                 r = measure(iters=args.iters, **kw)
-                out[key] = {"step_ms": r["step_ms"],
-                            "tiles_per_sec": r["tiles_per_sec"],
-                            "compile_s": r["compile_s"]}
             except Exception as e:
                 out.setdefault("errors", {})[key] = str(e)[:300]
+                continue
+            out[key] = {"step_ms": r["step_ms"],
+                        "tiles_per_sec": r["tiles_per_sec"],
+                        "compile_s": r["compile_s"],
+                        "first_loss": r["first_loss"]}
+            # numerics cross-check: both lowerings must be the same math
+            # (loud failure, NOT captured into out["errors"])
+            base_loss = out.get("vjp_off", {}).get("first_loss")
+            if base_loss is not None:
+                rtol = 2e-2 if "bf16" in tag else 1e-3
+                assert abs(r["first_loss"] - base_loss) <= (
+                    rtol * abs(base_loss)), (
+                    f"{tag}/{key}: first-step loss {r['first_loss']} "
+                    f"vs vjp_off {base_loss} — lowering changed math")
         L.set_conv_s1_custom_vjp(False)
         L.set_conv_s1_wgrad_dot(False)
         base = out.get("vjp_off", {}).get("tiles_per_sec")

@@ -64,8 +64,11 @@ def measure(batch, remat_stages=False, remat=False, iters=10, warmup=2,
     step, state, inputs, gt = build(batch, remat_stages, remat,
                                     accum_steps=accum_steps, **model_kw)
     t_c0 = time.perf_counter()
+    first_loss = None
     for _ in range(warmup):
         state, losses = step(state, inputs, gt)
+        if first_loss is None:
+            first_loss = float(losses["Total"])  # numerics cross-check
     float(losses["Total"])  # sync: compile done + warmup executed
     compile_s = time.perf_counter() - t_c0
     t0 = time.perf_counter()
@@ -77,7 +80,8 @@ def measure(batch, remat_stages=False, remat=False, iters=10, warmup=2,
             "accum_steps": accum_steps, **model_kw,
             "step_ms": round(1000 * dt / iters, 2),
             "tiles_per_sec": round(batch * iters / dt, 1),
-            "compile_s": round(compile_s, 1)}
+            "compile_s": round(compile_s, 1),
+            "first_loss": first_loss}
 
 
 def main():
