@@ -209,3 +209,23 @@ def test_trainer_device_cache_matches_host_path(root, tmp_path):
     for k, v in t_host.last_epoch_losses.items():
         np.testing.assert_allclose(t_cache.last_epoch_losses[k], v,
                                    rtol=2e-4, err_msg=k)
+
+
+def test_epoch_desync_rejected(root):
+    """epoch_batches(loader, e) without loader.set_epoch(e) would shuffle
+    with one epoch and seed the crop/augment replay with another — it must
+    fail loudly instead of silently breaking host-path bit-identity."""
+    p = _config(*root)
+    p["device_normalize"] = True
+    train_tf, _ = build_transforms(p)
+    ds = DFC30(split="train", transform=train_tf, seed=p.seed,
+               **{k: v for k, v in p.items() if k != "seed"})
+    mesh = make_mesh(jax.devices()[:1])
+    cache = DeviceSceneCache(ds, p, mesh)
+    loader = DataLoader(ds, 2, shuffle=True, drop_last=True,
+                        num_workers=1, seed=p.seed)
+    loader.set_epoch(1)
+    with pytest.raises(AssertionError, match="desync"):
+        next(cache.epoch_batches(loader, epoch=2))
+    loader.set_epoch(2)
+    next(cache.epoch_batches(loader, epoch=2))  # synced: works

@@ -385,3 +385,31 @@ def test_infer_large_scene_512(tmp_path):
                                        tmp_path / "up.npy", tile=False)
     arr = read_raster(out)
     assert arr.shape == (512, 512, 1) and np.isfinite(arr).all()
+
+
+def test_load_scene_float_255_raster_detected(tmp_path, capsys):
+    """A float raster HOLDING 0-255 values (e.g. a resampled uint8
+    orthophoto) must reach the model in the trained range too: the value
+    check (max > 1.5) classifies it 0-255 and passes it through, and the
+    explicit ``infer_image_range`` config overrides the heuristic."""
+    from jspsr_tpu.eval.inference import _normalize_sample, load_scene
+
+    rng = np.random.default_rng(11)
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    write_raster(scene / "lr_dem.npy",
+                 rng.uniform(10, 200, (32, 32, 1)).astype(np.float32))
+    write_raster(scene / "image.npy",
+                 rng.uniform(0, 255, (32, 32, 3)).astype(np.float32))
+
+    p = _p()
+    sample, _ = load_scene(scene, p)
+    s = _normalize_sample(dict(sample), p)
+    assert 0.5 < s["image"].max() <= 1.0  # NOT rescaled to [0, 65025]
+    assert "assumed 0-255" in capsys.readouterr().out  # heuristic is loud
+
+    # explicit override wins over the value heuristic
+    p2 = _p()
+    p2["infer_image_range"] = "unit"
+    sample2, _ = load_scene(scene, p2)
+    assert sample2["image"].max() > 255.0  # unit-range rule multiplied by 255
