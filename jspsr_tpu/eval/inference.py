@@ -316,6 +316,20 @@ def run_scene_inference(model, params, bn_state, p, scene_path, out_path,
     tk = p.get("tensor_kwargs") or {}
     base = float(np.min(sample["lr_dem"])) if p.get("relative") else 0.0
     if tile:
+        from jspsr_tpu.eval.scene import (device_tiling_supported,
+                                          tile_inference_device)
+
+        if device_tiling_supported(p) and p.get("infer_device_tiling", True):
+            # device-resident path: normalize/tile/forward/mosaic/descale
+            # run in one jitted program; arr arrives already in meters
+            arr, t_ms = tile_inference_device(
+                model, params, bn_state, sample, p,
+                tile=p.get("patch_size", 128))
+            mem = device_peak_memory_mb()
+            out_path = Path(out_path)
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            write_raster(out_path, arr.astype(np.float32), dict(profile))
+            return out_path, t_ms, mem
         t0 = time.perf_counter_ns()
         pred = tile_inference(forward_fn, sample, p,
                               tile=p.get("patch_size", 128))
