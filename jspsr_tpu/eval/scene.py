@@ -103,15 +103,54 @@ def _assemble(tiles: dict, keys: list, model_name: str):
     return [jnp.concatenate([tiles[k] for k in keys], axis=-1)]
 
 
+def transfer_encodings(sample: dict, keys: list) -> dict:
+    """Pick the cheapest exact host->device encoding per modality.
+
+    The scene upload dominates device-tiled latency on a tunneled host
+    (~76 B/px fp32 for dem+image+15-ch mask); binary masks bit-pack 8x
+    exactly (data/loader.pack_mask_np) and integer-valued 0-255 rasters
+    (orthophotos) ride as uint8 — float-valued rasters stay fp32. Returns
+    {key: ("f32" | "u8" | "bits", n_channels)}."""
+    enc = {}
+    for k in keys:
+        arr = np.asarray(sample[k])
+        c = arr.shape[-1]
+        if k == "lr_dem":
+            enc[k] = ("f32", c)
+        elif c >= 8 and arr.size and ((arr == 0) | (arr == 1)).all():
+            enc[k] = ("bits", c)
+        elif (arr.size and float(arr.min()) >= 0 and float(arr.max()) <= 255
+              and np.array_equal(arr, arr.astype(np.uint8))):
+            enc[k] = ("u8", c)
+        else:
+            enc[k] = ("f32", c)
+    return enc
+
+
+def _unpack_bits(x, n_ch: int):
+    """Inverse of data/loader.pack_mask_np on device: [..., ceil(C/8)]
+    big-endian bytes -> [..., C] float32 {0,1} (same shift trick as
+    data/normalize.make_device_normalize)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (x[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*x.shape[:-1], x.shape[-1] * 8)[..., :n_ch]
+
+
 def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
-                      cap: int | None = None, min_overlap: int = 16):
+                      cap: int | None = None, min_overlap: int = 16,
+                      mesh=None, encodings: dict | None = None):
     """Build the jitted scene program for one scene shape.
 
     Returns (run, prep) where prep(sample_dict) -> (scene dict of padded
     HWC np arrays, pads) and run(params, bn_state, scene, base) -> the
     (H, W, 1) mosaic in METERS (descale + relative base applied, matching
     run_scene_inference's host post-processing order: blend raw tile
-    predictions, clip the mosaic to [0,1], then descale)."""
+    predictions, clip the mosaic to [0,1], then descale).
+
+    With ``mesh``, each forward chunk's tile batch is sharded over the
+    mesh's data axis (tile-parallel inference, SURVEY §5.7): scene stays
+    replicated, the batched forward — where all the FLOPs are — runs
+    data-parallel, and GSPMD re-gathers predictions for the mosaic."""
     h, w = scene_hw
     stride_r, n_r, ph = tile_grid(h, tile, min_overlap)
     stride_c, n_c, pw = tile_grid(w, tile, min_overlap)
@@ -119,6 +158,9 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     cap = int(cap or p.get("infer_tile_batch") or 96)
     m = math.ceil(n / cap)
     chunk = math.ceil(n / m)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        chunk = math.ceil(chunk / n_dev) * n_dev  # shardable chunks
     n_pad = m * chunk
 
     starts = np.zeros((n_pad, 2), np.int32)
@@ -143,19 +185,32 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     relative = bool(p.get("relative"))
     pad_r, pad_c = ph - h, pw - w
 
+    enc = encodings or {}
+
     def prep(sample: dict):
-        """Mirror-pad raw HWC arrays up to the grid's padded size."""
+        """Mirror-pad raw HWC arrays to the grid's padded size and apply
+        the compact transfer encoding (uint8 / bit-packed — exact)."""
         out = {}
         for k in keys:
-            arr = np.asarray(sample[k], np.float32)
+            kind = enc.get(k, ("f32",))[0]
+            arr = np.asarray(sample[k],
+                             np.uint8 if kind in ("u8", "bits")
+                             else np.float32)
             if pad_r or pad_c:
                 arr = np.pad(arr, ((0, pad_r), (0, pad_c), (0, 0)),
                              mode="reflect")
+            if kind == "bits":
+                arr = np.packbits(arr, axis=-1)
             out[k] = arr
         return out
 
     def normalize(k, x, base):
-        # ToArray semantics (data/transforms.py:219-253) on device
+        # decode the transfer encoding, then ToArray semantics
+        # (data/transforms.py:219-253) on device
+        kind, n_ch = enc.get(k, ("f32", None))
+        if kind == "bits":
+            x = _unpack_bits(x, n_ch)
+        x = x.astype(jnp.float32)
         if k == "lr_dem":
             return scale_data(x, emin, emax, elog,
                               base_elev=base if relative else 0.0)
@@ -171,6 +226,10 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     starts_j = jnp.asarray(starts)
     weights_j = jnp.asarray(weights)
     wsum_j = jnp.asarray(wsum)
+    if mesh is not None:
+        from jspsr_tpu.parallel.mesh import batch_sharding
+
+        bsh = batch_sharding(mesh)
 
     @jax.jit
     def run(params, bn_state, scene: dict, base):
@@ -189,6 +248,10 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
         preds = []
         for j in range(m):  # static chunk loop: one compiled forward reused
             sl = [x[j * chunk:(j + 1) * chunk] for x in inputs]
+            if mesh is not None:
+                # tile-batch data parallelism: the forward (all the FLOPs)
+                # runs sharded; GSPMD re-gathers for the mosaic scatter
+                sl = [lax.with_sharding_constraint(x, bsh) for x in sl]
             preds.append(model(params, bn_state, sl, train=False)[0])
         pred = jnp.concatenate(preds, 0) if m > 1 else preds[0]
         pred = pred.astype(jnp.float32) * weights_j
@@ -202,8 +265,15 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     return run, prep
 
 
+# Runner cache: rebuilding make_scene_runner creates a fresh jitted
+# function (a fresh XLA program) per call; repeated scenes of one shape
+# (benchmark trials, batch CLI runs) must reuse the compiled program.
+_RUNNER_CACHE: dict = {}
+
+
 def tile_inference_device(model, params, bn_state, sample: dict, p,
-                          tile: int = 128, cap: int | None = None):
+                          tile: int = 128, cap: int | None = None,
+                          mesh=None):
     """End-to-end device-tiled scene inference.
 
     Returns (dem_meters (H, W, 1) float32 np, latency_ms) — latency is
@@ -213,7 +283,21 @@ def tile_inference_device(model, params, bn_state, sample: dict, p,
     keys = [k for k in ("lr_dem", "image", "mask", "canopy", "coord")
             if k in sample]
     hw = np.asarray(sample["lr_dem"]).shape[:2]
-    run, prep = make_scene_runner(model, p, keys, hw, tile=tile, cap=cap)
+    enc = transfer_encodings(sample, keys)
+    tk = p.get("tensor_kwargs") or {}
+    key = (id(model), tuple(keys), hw, tile, cap, id(mesh),
+           tuple(sorted(enc.items())),
+           tk.get("min"), tk.get("max"), tk.get("log", False),
+           tk.get("scale_mask", False), bool(p.get("relative")),
+           len(p.get("mask_channel") or list(range(15))),
+           p.get("infer_tile_batch"), p.model_name.lower())
+    if key not in _RUNNER_CACHE:
+        # hold the model/mesh references so their ids can never be
+        # recycled onto different objects while the cache entry lives
+        _RUNNER_CACHE[key] = (model, mesh, *make_scene_runner(
+            model, p, keys, hw, tile=tile, cap=cap, mesh=mesh,
+            encodings=enc))
+    _, _, run, prep = _RUNNER_CACHE[key]
     base = float(np.min(sample["lr_dem"])) if p.get("relative") else 0.0
 
     t0 = time.perf_counter_ns()

@@ -31,7 +31,9 @@ def make_scene(size: int, seed: int = 0) -> dict:
 
     rng = np.random.default_rng(seed)
     dem = _fractal_terrain(rng, size).astype(np.float32)[..., None]
-    img = rng.uniform(0, 255, (size, size, 3)).astype(np.float32)
+    # integer-valued like a real uint8 orthophoto (load_scene delivers
+    # 0-255 float); the device-tiled path ships it as uint8
+    img = rng.integers(0, 256, (size, size, 3)).astype(np.float32)
     cls = rng.integers(0, 15, (size, size))
     mask = np.eye(15, dtype=np.float32)[cls]  # binary one-hot (dfc30.py)
     return {"lr_dem": dem, "image": img, "mask": mask}
@@ -68,7 +70,10 @@ def main():
         def forward_fn(inputs):
             return fwd(params, bn_state, inputs)
 
+        dev_only = os.environ.get("BENCH_DEV_TILED_ONLY") == "1"
         for size in sizes:
+            if dev_only:
+                break
             sample = make_scene(size)
             times = []
             for _ in range(N_TRIALS + 1):  # first trial compiles
@@ -88,13 +93,30 @@ def main():
             continue
         sample = make_scene(size)
         import time as _t
+        if not dev_only:
+            times = []
+            for _ in range(N_TRIALS + 1):
+                t0 = _t.perf_counter()
+                tile_inference(forward_fn, sample, p, tile=128)
+                times.append((_t.perf_counter() - t0) * 1000)
+            best, worst = min(times[1:]), max(times[1:])
+            rows.append({"case": f"tiled_{size}_{dtype_tag}",
+                         "ms": round(best, 1), "ms_max": round(worst, 1),
+                         "peak_mb": round(device_peak_memory_mb(), 0),
+                         "mpix_per_s": round(size * size / best / 1e3, 2)})
+            print(json.dumps(rows[-1]), flush=True)
+
+        # device-resident tiled path (eval/scene.py): raw scene upload +
+        # one jitted normalize/tile/forward/mosaic/descale program
+        from jspsr_tpu.eval.scene import tile_inference_device
+
         times = []
         for _ in range(N_TRIALS + 1):
-            t0 = _t.perf_counter()
-            tile_inference(forward_fn, sample, p, tile=128)
-            times.append((_t.perf_counter() - t0) * 1000)
+            _, ms = tile_inference_device(model, params, bn_state,
+                                          sample, p, tile=128)
+            times.append(ms)
         best, worst = min(times[1:]), max(times[1:])
-        rows.append({"case": f"tiled_{size}_{dtype_tag}",
+        rows.append({"case": f"dev_tiled_{size}_{dtype_tag}",
                      "ms": round(best, 1), "ms_max": round(worst, 1),
                      "peak_mb": round(device_peak_memory_mb(), 0),
                      "mpix_per_s": round(size * size / best / 1e3, 2)})

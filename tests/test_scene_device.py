@@ -162,6 +162,59 @@ def test_rect_scene_real_model():
     assert out.shape == (130, 160, 1) and np.isfinite(out).all()
 
 
+def test_transfer_encodings():
+    from jspsr_tpu.eval.scene import transfer_encodings
+
+    rng = np.random.default_rng(9)
+    s = {
+        "lr_dem": rng.uniform(10, 200, (32, 32, 1)).astype(np.float32),
+        "image": rng.integers(0, 255, (32, 32, 3)).astype(np.float32),
+        "mask": (rng.uniform(0, 1, (32, 32, 15)) < 0.3).astype(np.float32),
+        "canopy": rng.uniform(0, 60, (32, 32, 1)).astype(np.float32),
+    }
+    enc = transfer_encodings(s, list(s))
+    assert enc["lr_dem"] == ("f32", 1)
+    assert enc["image"] == ("u8", 3)       # integer-valued raster
+    assert enc["mask"] == ("bits", 15)     # binary one-hot: bit-packed
+    assert enc["canopy"] == ("f32", 1)     # float-valued: no lossy cast
+    s["image"] = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    assert transfer_encodings(s, ["image"])["image"] == ("f32", 3)
+
+
+def test_float_image_stays_exact():
+    """A non-integral float image must NOT take the uint8 transfer path;
+    outputs still match the host oracle."""
+    from jspsr_tpu.eval.inference import tile_inference
+    from jspsr_tpu.train.step import make_forward
+
+    model, params, bn = _tiny_jspsr(seed=5)
+    p = _p()
+    rng = np.random.default_rng(11)
+    s = {"lr_dem": rng.uniform(10, 200, (160, 160, 1)).astype(np.float32),
+         "image": rng.uniform(0, 255, (160, 160, 3)).astype(np.float32)}
+    fwd = make_forward(model)
+    host = tile_inference(lambda x: fwd(params, bn, x), dict(s), p, tile=64)
+    base = float(np.min(s["lr_dem"]))
+    host_m = descale_data(np.clip(host, 0, 1), -80, 929, True) + base
+    dev, _ = tile_inference_device(model, params, bn, s, p, tile=64)
+    np.testing.assert_allclose(dev, host_m, atol=5e-3)
+
+
+def test_mesh_sharded_equals_single_device():
+    """Tile-batch data parallelism over the 8-device CPU mesh produces
+    the same mosaic as the unsharded runner."""
+    from jspsr_tpu.parallel.mesh import make_mesh
+
+    model, params, bn = _tiny_jspsr(seed=6)
+    p = _p()
+    s = _scene(160, 160, seed=6)
+    single, _ = tile_inference_device(model, params, bn, s, p, tile=64)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded, _ = tile_inference_device(model, params, bn, s, p, tile=64,
+                                       mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=5e-3)
+
+
 def test_supported_surface_gate():
     assert device_tiling_supported(_p())
     assert not device_tiling_supported(_p(normalize=["lr_dem"]))
