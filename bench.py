@@ -43,7 +43,7 @@ TRIALS = 3
 
 def _trial_stats(trials):
     best = max(trials)
-    spread = (best - min(trials)) / best * 100 if best else 0.0
+    spread = (best - min(trials)) / abs(best) * 100 if best else 0.0
     return {"trials": [round(t, 1) for t in trials],
             "best": round(best, 1), "spread_pct": round(spread, 1)}
 
@@ -129,6 +129,25 @@ def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
     return [best]
 
 
+def measure_scene(size=1024, trials=TRIALS, **model_kw):
+    """Device-tiled whole-scene latency (eval/scene.py): end-to-end
+    upload+compute+download ms per scene, returned as negative-ms trials
+    so best-of-N picks the LOWEST latency through _trial_stats (which
+    takes max)."""
+    import __graft_entry__ as g
+    from scripts.bench_infer_scene import make_p, make_scene
+    from jspsr_tpu.eval.scene import tile_inference_device
+
+    model, params, bn_state = g._flagship(**model_kw)
+    p = make_p(model_kw.get("compute_dtype"))
+    sample = make_scene(size)
+    out = []
+    for _ in range(trials + 1):  # first call compiles
+        _, ms = tile_inference_device(model, params, bn_state, sample, p)
+        out.append(-ms)
+    return out[1:]
+
+
 def _arm_watchdog():
     """A dead axon relay makes the first jit hang forever in PJRT client
     init (connection-refused retry loop — see PERF.md measurement notes).
@@ -208,6 +227,10 @@ def main():
     # ratio vs the resident-data step shows the host-feed cost (VERDICT r2 #4)
     e2e_tps = probe("trainer_e2e_bf16_b48", measure_trainer_e2e)
 
+    # device-tiled whole-scene inference latency at 1024^2 (eval/scene.py;
+    # negative-ms convention so best-of-N picks the lowest latency)
+    scene_neg_ms = probe("scene_1024_dev_tiled_fp32", measure_scene)
+
     try:
         cpu_tps = _cpu_baseline()
         vs = best_tps / (10.0 * cpu_tps)
@@ -231,6 +254,8 @@ def main():
         "e2e_trainer_tiles_per_sec": (round(e2e_tps, 1) if e2e_tps else None),
         "e2e_vs_resident_ratio": (round(e2e_tps / train_bf16_tps, 3)
                                   if e2e_tps and train_bf16_tps else None),
+        "scene_1024_dev_tiled_ms": (round(-scene_neg_ms, 1)
+                                    if scene_neg_ms else None),
     }))
 
 

@@ -7,8 +7,9 @@
 main.py:148-159). --infer runs full-scene inference on a raster (or a
 scene directory with one raster per modality) and writes the upscaled DEM
 in meters — the CLI form of the reference's library-only upscale_dem
-(utils/utils.py:1556-1655); --tile uses the tile-parallel feathered path
-instead of whole-scene mirror-padding.
+(utils/utils.py:1556-1655); --tile uses the device-resident tile-parallel
+feathered path instead of whole-scene mirror-padding. A directory of
+scene directories runs the pipelined batch serving loop (eval/serve.py).
 """
 
 from __future__ import annotations
@@ -59,6 +60,34 @@ def main(argv=None):
         model = build_model(p)
         params, bn_state = load_model_params(model, ckpt,
                                              seed=p.get("seed") or 0)
+
+        # batch mode: a directory of scene directories runs the pipelined
+        # serving loop (loader/dispatch/writer threads, eval/serve.py)
+        from jspsr_tpu.eval.scene import device_tiling_supported
+        from jspsr_tpu.eval.serve import discover_scenes, serve_scenes
+
+        scenes = discover_scenes(args.infer)
+        if scenes:
+            out_dir = Path(args.out or result_dir / "predictions")
+            if device_tiling_supported(p) and p.get("infer_device_tiling",
+                                                    True):
+                paths, t_ms, sps = serve_scenes(
+                    model, params, bn_state, p, scenes, out_dir,
+                    tile=p.get("patch_size", 128))
+            else:  # sequential fallback for unsupported config surfaces
+                import time as _t
+
+                t0 = _t.perf_counter_ns()
+                paths = [run_scene_inference(
+                    model, params, bn_state, p, s,
+                    out_dir / f"{s.name}_sr.tif", tile=args.tile)[0]
+                    for s in scenes]
+                t_ms = (_t.perf_counter_ns() - t0) // 1000 / 1000
+                sps = len(paths) / max(t_ms, 1e-9) * 1000
+            print(f"Inference: {len(paths)} scenes -> {out_dir} "
+                  f"({t_ms:.1f} ms, {sps:.2f} scenes/s)")
+            return paths
+
         out = args.out or str(result_dir / "upscaled_dem.tif")
         path, t_ms, mem = run_scene_inference(
             model, params, bn_state, p, args.infer, out, tile=args.tile)

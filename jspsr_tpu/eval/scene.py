@@ -271,15 +271,14 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
 _RUNNER_CACHE: dict = {}
 
 
-def tile_inference_device(model, params, bn_state, sample: dict, p,
-                          tile: int = 128, cap: int | None = None,
-                          mesh=None):
-    """End-to-end device-tiled scene inference.
-
-    Returns (dem_meters (H, W, 1) float32 np, latency_ms) — latency is
-    true end-to-end: scene upload + compute + mosaic download (the
-    compile, first call per shape, is excluded by the caller timing a
-    second call, as scripts/bench_infer_scene.py does)."""
+def scene_dispatch(model, params, bn_state, sample: dict, p,
+                   tile: int = 128, cap: int | None = None, mesh=None):
+    """Dispatch one scene through the device-tiled program WITHOUT
+    blocking: returns the on-device (H, W, 1) meters mosaic (a jax array
+    whose computation is enqueued). The caller reads it with np.asarray
+    when ready — the separation lets a serving loop overlap the next
+    scene's host prep/upload with this scene's compute
+    (eval/serve.serve_scenes)."""
     keys = [k for k in ("lr_dem", "image", "mask", "canopy", "coord")
             if k in sample]
     hw = np.asarray(sample["lr_dem"]).shape[:2]
@@ -299,10 +298,22 @@ def tile_inference_device(model, params, bn_state, sample: dict, p,
             encodings=enc))
     _, _, run, prep = _RUNNER_CACHE[key]
     base = float(np.min(sample["lr_dem"])) if p.get("relative") else 0.0
-
-    t0 = time.perf_counter_ns()
     scene = jax.device_put(prep(sample))
-    out = run(params, bn_state, scene, jnp.float32(base))
+    return run(params, bn_state, scene, jnp.float32(base))
+
+
+def tile_inference_device(model, params, bn_state, sample: dict, p,
+                          tile: int = 128, cap: int | None = None,
+                          mesh=None):
+    """End-to-end device-tiled scene inference.
+
+    Returns (dem_meters (H, W, 1) float32 np, latency_ms) — latency is
+    true end-to-end: scene upload + compute + mosaic download (the
+    compile, first call per shape, is excluded by the caller timing a
+    second call, as scripts/bench_infer_scene.py does)."""
+    t0 = time.perf_counter_ns()
+    out = scene_dispatch(model, params, bn_state, sample, p,
+                         tile=tile, cap=cap, mesh=mesh)
     out.block_until_ready()
     t_ms = (time.perf_counter_ns() - t0) // 1000 / 1000
     return np.asarray(out), t_ms

@@ -1,0 +1,131 @@
+"""Pipelined multi-scene serving.
+
+The reference processes one scene at a time through the library-only
+``upscale_dem`` (reference utils/utils.py:1556-1655) — there is no batch
+driver at all. Production DEM enhancement is a throughput problem over
+thousands of scenes, so this module adds the TPU-idiomatic serving loop
+around the device-tiled scene program (eval/scene.py):
+
+  loader thread   : raster decode (load_scene) + pad/pack (prep) for
+                    scene i+2 — the pure-host work
+  main thread     : device_put + program dispatch for scene i+1 (JAX
+                    dispatch is async: the host returns immediately and
+                    the chip pipelines upload with scene i's compute)
+  writer thread   : blocking device->host read + GeoTIFF write of
+                    scene i's meters mosaic
+
+so raster IO, the PCIe/tunnel transfers, the forward compute, and the
+output writes all overlap. Same-shape scenes share one compiled program
+(eval/scene._RUNNER_CACHE); mixed shapes each compile once.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from jspsr_tpu.eval.scene import scene_dispatch
+
+
+def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
+                 tile: int = 128, prefetch: int = 2, mesh=None):
+    """Run device-tiled inference over many scenes with a 3-stage
+    pipeline. Returns (list of output paths, elapsed_ms, scenes_per_s).
+
+    ``scene_paths``: scene directories (or single LR-DEM rasters) in the
+    load_scene format. Outputs land in ``out_dir/<scene name>_sr.tif``
+    (``.npy`` when the scene raster was .npy). Exceptions from any stage
+    propagate to the caller after the pipeline drains.
+    """
+    from jspsr_tpu.data.raster_io import write_raster
+    from jspsr_tpu.eval.inference import load_scene
+
+    scene_paths = [Path(s) for s in scene_paths]
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    loaded: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    done: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    errors: list = []
+    out_paths: list = [None] * len(scene_paths)
+
+    def loader():
+        for i, path in enumerate(scene_paths):
+            try:
+                sample, profile = load_scene(path, p)
+            except Exception as e:  # surface after drain
+                errors.append(e)
+                loaded.put(None)
+                return
+            loaded.put((i, path, sample, profile))
+        loaded.put(None)
+
+    def writer():
+        while True:
+            item = done.get()
+            if item is None:
+                return
+            i, path, dev_out, profile = item
+            try:
+                arr = np.asarray(dev_out)  # blocks until compute done
+                ext = ".npy" if path.suffix == ".npy" or any(
+                    f.suffix == ".npy" for f in
+                    (path.iterdir() if path.is_dir() else [])) else ".tif"
+                out_path = out_dir / f"{path.stem}_sr{ext}"
+                write_raster(out_path, arr.astype(np.float32),
+                             dict(profile) if profile else None)
+                out_paths[i] = out_path
+            except Exception as e:
+                errors.append(e)
+
+    t_loader = threading.Thread(target=loader, daemon=True)
+    t_writer = threading.Thread(target=writer, daemon=True)
+    t0 = time.perf_counter_ns()
+    t_loader.start()
+    t_writer.start()
+    n_done = 0
+    while True:
+        item = loaded.get()
+        if item is None:
+            break
+        i, path, sample, profile = item
+        try:
+            dev_out = scene_dispatch(model, params, bn_state, sample, p,
+                                     tile=tile, mesh=mesh)
+        except Exception as e:
+            errors.append(e)
+            # drain the loader so it can finish (it may be blocked on a
+            # full queue); items are discarded
+            while loaded.get() is not None:
+                pass
+            break
+        done.put((i, path, dev_out, profile))
+        n_done += 1
+    done.put(None)
+    t_writer.join()
+    t_loader.join()
+    elapsed_ms = (time.perf_counter_ns() - t0) // 1000 / 1000
+    if errors:
+        raise errors[0]
+    return out_paths, elapsed_ms, n_done / max(elapsed_ms, 1e-9) * 1000.0
+
+
+def discover_scenes(batch_dir) -> list:
+    """A batch directory holds one subdirectory per scene (each in the
+    load_scene layout). Returns the sorted scene dirs; empty if
+    ``batch_dir`` itself looks like a single scene."""
+    from jspsr_tpu.eval.inference import _SCENE_ALIASES, _find_modality
+
+    batch_dir = Path(batch_dir)
+    if not batch_dir.is_dir():
+        return []
+    if _find_modality(batch_dir, _SCENE_ALIASES["lr_dem"]) is not None:
+        return []  # single scene
+    scenes = [d for d in sorted(batch_dir.iterdir())
+              if d.is_dir()
+              and _find_modality(d, _SCENE_ALIASES["lr_dem"]) is not None]
+    return scenes

@@ -1,0 +1,154 @@
+"""Pipelined multi-scene serving (eval/serve.py) + CLI batch --infer."""
+
+import numpy as np
+import jax
+import pytest
+
+from jspsr_tpu.config.loader import AttrDict
+from jspsr_tpu.data.raster_io import read_raster, write_raster
+from jspsr_tpu.eval.serve import discover_scenes, serve_scenes
+
+
+def _p(ckpt=None):
+    return AttrDict({
+        "model_name": "JSPSR", "relative": True, "normalize": False,
+        "mask_channel": None, "patch_size": 64,
+        "input_data": {"lr_dem": 1, "image": 3},
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929,
+                          "scale_mask": True},
+        "model_kwargs": {"num_feature": 8, "num_block": 1,
+                         "checkpoint": ckpt},
+    })
+
+
+def _tiny_jspsr(seed=0):
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    model = JSPSR({"lr_dem": 1, "image": 3}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(seed))
+    return model, params, bn
+
+
+def _make_batch_dir(tmp_path, n=3, size=96, seed=0):
+    rng = np.random.default_rng(seed)
+    batch = tmp_path / "batch"
+    for i in range(n):
+        d = batch / f"scene{i}"
+        d.mkdir(parents=True)
+        write_raster(d / "lr_dem.npy",
+                     rng.uniform(10, 200, (size, size, 1))
+                     .astype(np.float32))
+        write_raster(d / "image.npy",
+                     rng.integers(0, 255, (size, size, 3))
+                     .astype(np.uint8))
+    return batch
+
+
+def test_discover_scenes(tmp_path):
+    batch = _make_batch_dir(tmp_path, n=3)
+    scenes = discover_scenes(batch)
+    assert [s.name for s in scenes] == ["scene0", "scene1", "scene2"]
+    # a single-scene dir is NOT a batch
+    assert discover_scenes(batch / "scene0") == []
+    # junk dirs are skipped
+    (batch / "not_a_scene").mkdir()
+    assert len(discover_scenes(batch)) == 3
+
+
+def test_serve_matches_single_scene(tmp_path):
+    """Pipelined outputs are identical to one-at-a-time device-tiled
+    inference (same compiled program, same scenes)."""
+    from jspsr_tpu.eval.inference import load_scene
+    from jspsr_tpu.eval.scene import tile_inference_device
+
+    model, params, bn = _tiny_jspsr()
+    p = _p()
+    batch = _make_batch_dir(tmp_path, n=3)
+    scenes = discover_scenes(batch)
+
+    out_paths, t_ms, sps = serve_scenes(model, params, bn, p, scenes,
+                                        tmp_path / "out", tile=64)
+    assert t_ms > 0 and sps > 0
+    for sp, op in zip(scenes, out_paths):
+        sample, _ = load_scene(sp, p)
+        single, _ = tile_inference_device(model, params, bn, sample, p,
+                                          tile=64)
+        served = read_raster(op)
+        np.testing.assert_array_equal(served, single.astype(np.float32))
+
+
+def test_serve_mixed_shapes(tmp_path):
+    """Scenes of different sizes each compile once and all complete."""
+    rng = np.random.default_rng(5)
+    batch = tmp_path / "batch"
+    for i, size in enumerate((96, 130)):
+        d = batch / f"s{i}"
+        d.mkdir(parents=True)
+        write_raster(d / "lr_dem.npy",
+                     rng.uniform(10, 200, (size, size, 1))
+                     .astype(np.float32))
+        write_raster(d / "image.npy",
+                     rng.integers(0, 255, (size, size, 3))
+                     .astype(np.uint8))
+    model, params, bn = _tiny_jspsr(seed=1)
+    out_paths, _, _ = serve_scenes(model, params, bn, _p(),
+                                   discover_scenes(batch),
+                                   tmp_path / "out", tile=64)
+    a, b = (read_raster(op) for op in out_paths)
+    assert a.shape == (96, 96, 1) and b.shape == (130, 130, 1)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_serve_bad_scene_raises(tmp_path):
+    """A broken scene surfaces as an exception after the pipeline
+    drains (no deadlock, no silent skip)."""
+    model, params, bn = _tiny_jspsr(seed=2)
+    batch = _make_batch_dir(tmp_path, n=2)
+    (batch / "scene1" / "image.npy").unlink()  # image required by config
+    with pytest.raises(AssertionError, match="missing 'image'"):
+        serve_scenes(model, params, bn, _p(), discover_scenes(batch),
+                     tmp_path / "out", tile=64)
+
+
+def test_cli_batch_infer(tmp_path):
+    """--infer <batch dir> routes through the pipelined serving loop."""
+    import yaml
+
+    from jspsr_tpu.cli.main import main as cli_main
+    from jspsr_tpu.train.checkpoint import save_checkpoint
+
+    model, params, bn = _tiny_jspsr(seed=3)
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(ckpt, params, bn)
+
+    batch = _make_batch_dir(tmp_path, n=2, size=96, seed=7)
+    cfg = {
+        "name": "t", "dataset": "DFC30", "resolution": 8,
+        "data_root": str(tmp_path),
+        "train_set": ["Brest"], "valid_set": ["Vannes"],
+        "input_data": {"COP30": 1, "image": 3},
+        "relative": True, "patch_size": 64,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8,
+                         "checkpoint": str(ckpt)},
+        "loss": {"L1": 1}, "optimizer": "Adam",
+        "optimizer_kwargs": {"lr": 1e-3},
+        "metric": {"RMSE": {"package": "local"}},
+    }
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    import sys as _sys
+    real_stdout = _sys.stdout
+    try:
+        paths = cli_main(["--config", str(cfg_path), "--infer", str(batch),
+                          "--tile", "--out", str(tmp_path / "preds"),
+                          "--result-dir", str(tmp_path / "res")])
+    finally:
+        _sys.stdout = real_stdout
+    assert len(paths) == 2
+    for op in paths:
+        arr = read_raster(op)
+        assert arr.shape == (96, 96, 1) and np.isfinite(arr).all()
