@@ -34,7 +34,8 @@ def parse_args(argv=None):
                     help="full-scene inference: LR-DEM raster or scene dir "
                          "(needs model_kwargs.checkpoint)")
     ap.add_argument("--out", default=None,
-                    help="output raster path for --infer")
+                    help="--infer output: raster path for a single scene, "
+                         "output DIRECTORY for a batch of scenes")
     ap.add_argument("--tile", action="store_true",
                     help="--infer via the tile-parallel feathered mosaic")
     return ap.parse_args(argv)
@@ -68,19 +69,24 @@ def main(argv=None):
 
         scenes = discover_scenes(args.infer)
         if scenes:
+            from jspsr_tpu.eval.serve import scene_ext
+
             out_dir = Path(args.out or result_dir / "predictions")
-            if device_tiling_supported(p) and p.get("infer_device_tiling",
-                                                    True):
+            if (args.tile and device_tiling_supported(p)
+                    and p.get("infer_device_tiling", True)):
                 paths, t_ms, sps = serve_scenes(
                     model, params, bn_state, p, scenes, out_dir,
                     tile=p.get("patch_size", 128))
-            else:  # sequential fallback for unsupported config surfaces
+            else:
+                # whole-scene per scene (no --tile), or the sequential
+                # fallback for config surfaces the device path can't cover
                 import time as _t
 
                 t0 = _t.perf_counter_ns()
                 paths = [run_scene_inference(
                     model, params, bn_state, p, s,
-                    out_dir / f"{s.name}_sr.tif", tile=args.tile)[0]
+                    out_dir / f"{s.name}_sr{scene_ext(s)}",
+                    tile=args.tile)[0]
                     for s in scenes]
                 t_ms = (_t.perf_counter_ns() - t0) // 1000 / 1000
                 sps = len(paths) / max(t_ms, 1e-9) * 1000

@@ -43,6 +43,38 @@ def _nonzero(v):
         return True  # traced/array base: always apply
 
 
+def modality_scale(kind: str, x, base, *, emin, emax, elog,
+                   scale_mask: bool, n_div: int, relative: bool):
+    """ToArray's per-modality scaling (data/transforms.py:219-253) on
+    device arrays — THE single home of this math, shared by the train
+    raw-feed normalizer (make_device_normalize) and the device-tiled
+    scene runner (eval/scene.py) so the two paths cannot diverge."""
+    import jax.numpy as jnp
+
+    if kind == "lr_dem" or kind == "hr_dem":
+        return scale_data(x, emin, emax, elog,
+                          base_elev=base if relative else 0.0)
+    if kind == "image":
+        return x / 255.0
+    if kind == "mask" and scale_mask:
+        chans = jnp.arange(1, x.shape[-1] + 1, dtype=jnp.float32)
+        return x * chans / n_div
+    if kind == "canopy":
+        return x / 68.0
+    return x  # coord / unscaled mask: [0,1] passthrough
+
+
+def unpack_mask_bits(x, n_ch: int):
+    """Inverse of data/loader.pack_mask_np on device: [..., ceil(C/8)]
+    big-endian bytes -> [..., C] {0,1} (np.packbits order — channel 0 in
+    the MSB). Shift-and-mask fuses into the surrounding elementwise pass."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (x[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*x.shape[:-1], x.shape[-1] * 8)[..., :n_ch]
+
+
 def make_device_normalize(p):
     """Jitted on-device batch normalization for the raw-feed train path
     (``device_normalize: true``).
@@ -80,37 +112,20 @@ def make_device_normalize(p):
     relative = bool(p.get("relative"))
     pack_mask = bool(p.get("pack_mask"))
 
-    def unpack_bits(x):
-        # inverse of data/loader.pack_mask_np: [..., ceil(C/8)] big-endian
-        # bytes -> [..., C] {0,1}. Shift-and-mask fuses into the same
-        # elementwise pass as the scaling below.
-        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        bits = (x[..., None] >> shifts) & jnp.uint8(1)
-        return bits.reshape(*x.shape[:-1], x.shape[-1] * 8)[..., :mask_ch]
-
     @jax.jit
     def normalize(inputs, gt, base):
-        b = base[:, None, None, None] if relative else 0.0
+        b = base[:, None, None, None]
         out = []
         for x, kind in zip(inputs, kinds):
             if kind == "mask" and pack_mask:
-                x = unpack_bits(x)
-            x = x.astype(jnp.float32)
-            if kind == "lr_dem":
-                x = scale_data(x, emin, emax, elog, base_elev=b)
-            elif kind == "image":
-                x = x / 255.0
-            elif kind == "mask":
-                if scale_mask:
-                    chans = jnp.arange(1, x.shape[-1] + 1,
-                                       dtype=jnp.float32)
-                    x = x * (chans / n_div)
-            elif kind == "canopy":
-                x = x / 68.0
-            # coord: float [0,1] passthrough (ToArray generic branch)
-            out.append(x)
-        g = scale_data(gt.astype(jnp.float32), emin, emax, elog,
-                       base_elev=b)
+                x = unpack_mask_bits(x, mask_ch)
+            out.append(modality_scale(
+                kind, x.astype(jnp.float32), b, emin=emin, emax=emax,
+                elog=elog, scale_mask=scale_mask, n_div=n_div,
+                relative=relative))
+        g = modality_scale("hr_dem", gt.astype(jnp.float32), b, emin=emin,
+                           emax=emax, elog=elog, scale_mask=scale_mask,
+                           n_div=n_div, relative=relative)
         return out, g
 
     return normalize

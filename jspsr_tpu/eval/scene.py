@@ -34,13 +34,19 @@ from __future__ import annotations
 
 import math
 import time
+from collections import OrderedDict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from jspsr_tpu.data.normalize import descale_data, scale_data
+from jspsr_tpu.data.normalize import (
+    descale_data,
+    modality_scale,
+    scale_data,
+    unpack_mask_bits,
+)
 from jspsr_tpu.eval.mosaic import edge_ramp
 
 
@@ -127,13 +133,69 @@ def transfer_encodings(sample: dict, keys: list) -> dict:
     return enc
 
 
-def _unpack_bits(x, n_ch: int):
-    """Inverse of data/loader.pack_mask_np on device: [..., ceil(C/8)]
-    big-endian bytes -> [..., C] float32 {0,1} (same shift trick as
-    data/normalize.make_device_normalize)."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (x[..., None] >> shifts) & jnp.uint8(1)
-    return bits.reshape(*x.shape[:-1], x.shape[-1] * 8)[..., :n_ch]
+class PreparedScene:
+    """Host-side product of prepare_scene: padded + compact-encoded
+    modality arrays ready for upload, plus everything the runner cache
+    needs to key on. Building one is the pure-host work (reflect pads,
+    packbits, integrality scans) — a serving loop does it in its loader
+    thread so it overlaps the previous scene's device compute."""
+
+    __slots__ = ("arrays", "keys", "hw", "enc", "base", "tile",
+                 "min_overlap")
+
+    def __init__(self, arrays, keys, hw, enc, base, tile, min_overlap):
+        self.arrays = arrays
+        self.keys = keys
+        self.hw = hw
+        self.enc = enc
+        self.base = base
+        self.tile = tile
+        self.min_overlap = min_overlap
+
+
+def prepare_scene(sample: dict, p, tile: int = 128,
+                  min_overlap: int = 16) -> PreparedScene:
+    """Validate + pad + compact-encode one raw scene on the host.
+
+    Validates the DEM against the configured elevation range BEFORE
+    upload (the device program cannot assert): nodata pixels (-9999 and
+    friends) or out-of-range elevations raise here with the scene range
+    in the message — the same loud failure ToArray gives the host path
+    (data/transforms.py:239-252) instead of silent NaN rasters."""
+    keys = [k for k in ("lr_dem", "image", "mask", "canopy", "coord")
+            if k in sample]
+    dem = np.asarray(sample["lr_dem"])
+    hw = dem.shape[:2]
+    tk = p.get("tensor_kwargs") or {}
+    base = float(dem.min()) if p.get("relative") else 0.0
+    lo, hi = float(dem.min()), float(dem.max())
+    with np.errstate(invalid="ignore"):  # nodata -> NaN is the signal
+        scaled = scale_data(np.array([lo, hi]), tk.get("min", -80),
+                            tk.get("max", 929), tk.get("log", False),
+                            base_elev=base)
+    if not (np.isfinite(scaled).all()
+            and -1e-6 <= scaled[0] and scaled[1] <= 1 + 1e-6):
+        raise ValueError(
+            f"scene lr_dem range [{lo}, {hi}] (base={base}) falls outside "
+            f"the configured elevation range min={tk.get('min', -80)} "
+            f"max={tk.get('max', 929)} — nodata pixels? Mask/fill them "
+            f"before inference (ToArray would reject this scene too)")
+
+    enc = transfer_encodings(sample, keys)
+    pad_r = tile_grid(hw[0], tile, min_overlap)[2] - hw[0]
+    pad_c = tile_grid(hw[1], tile, min_overlap)[2] - hw[1]
+    arrays = {}
+    for k in keys:
+        kind = enc[k][0]
+        arr = np.asarray(sample[k],
+                         np.uint8 if kind in ("u8", "bits") else np.float32)
+        if pad_r or pad_c:
+            arr = np.pad(arr, ((0, pad_r), (0, pad_c), (0, 0)),
+                         mode="reflect")
+        if kind == "bits":
+            arr = np.packbits(arr, axis=-1)
+        arrays[k] = arr
+    return PreparedScene(arrays, keys, hw, enc, base, tile, min_overlap)
 
 
 def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
@@ -141,11 +203,11 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
                       mesh=None, encodings: dict | None = None):
     """Build the jitted scene program for one scene shape.
 
-    Returns (run, prep) where prep(sample_dict) -> (scene dict of padded
-    HWC np arrays, pads) and run(params, bn_state, scene, base) -> the
-    (H, W, 1) mosaic in METERS (descale + relative base applied, matching
+    Returns run(params, bn_state, scene_arrays, base) -> the (H, W, 1)
+    mosaic in METERS (descale + relative base applied, matching
     run_scene_inference's host post-processing order: blend raw tile
-    predictions, clip the mosaic to [0,1], then descale).
+    predictions, clip the mosaic to [0,1], then descale). The scene
+    arrays come from prepare_scene (padded, compact-encoded).
 
     With ``mesh``, each forward chunk's tile batch is sharded over the
     mesh's data axis (tile-parallel inference, SURVEY §5.7): scene stays
@@ -183,45 +245,19 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     scale_mask = tk.get("scale_mask", False)
     n_div = len(p.get("mask_channel") or list(range(15))) + 1
     relative = bool(p.get("relative"))
-    pad_r, pad_c = ph - h, pw - w
-
     enc = encodings or {}
 
-    def prep(sample: dict):
-        """Mirror-pad raw HWC arrays to the grid's padded size and apply
-        the compact transfer encoding (uint8 / bit-packed — exact)."""
-        out = {}
-        for k in keys:
-            kind = enc.get(k, ("f32",))[0]
-            arr = np.asarray(sample[k],
-                             np.uint8 if kind in ("u8", "bits")
-                             else np.float32)
-            if pad_r or pad_c:
-                arr = np.pad(arr, ((0, pad_r), (0, pad_c), (0, 0)),
-                             mode="reflect")
-            if kind == "bits":
-                arr = np.packbits(arr, axis=-1)
-            out[k] = arr
-        return out
-
     def normalize(k, x, base):
-        # decode the transfer encoding, then ToArray semantics
-        # (data/transforms.py:219-253) on device
+        # decode the transfer encoding, then the shared ToArray-equivalent
+        # scaling (data/normalize.modality_scale — one home for the math,
+        # also used by the train raw feed)
         kind, n_ch = enc.get(k, ("f32", None))
         if kind == "bits":
-            x = _unpack_bits(x, n_ch)
-        x = x.astype(jnp.float32)
-        if k == "lr_dem":
-            return scale_data(x, emin, emax, elog,
-                              base_elev=base if relative else 0.0)
-        if k == "image":
-            return x / 255.0
-        if k == "mask" and scale_mask:
-            chans = jnp.arange(1, x.shape[-1] + 1, dtype=jnp.float32)
-            return x * chans / n_div
-        if k == "canopy":
-            return x / 68.0
-        return x  # coord / unscaled mask: [0,1] passthrough
+            x = unpack_mask_bits(x, n_ch)
+        return modality_scale(
+            k, x.astype(jnp.float32), base, emin=emin, emax=emax,
+            elog=elog, scale_mask=scale_mask, n_div=n_div,
+            relative=relative)
 
     starts_j = jnp.asarray(starts)
     weights_j = jnp.asarray(weights)
@@ -262,44 +298,54 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
         out = jnp.clip((out / wsum_j)[:h, :w], 0.0, 1.0)
         return descale_data(out, emin, emax, elog) + base
 
-    return run, prep
+    return run
 
 
 # Runner cache: rebuilding make_scene_runner creates a fresh jitted
 # function (a fresh XLA program) per call; repeated scenes of one shape
 # (benchmark trials, batch CLI runs) must reuse the compiled program.
-_RUNNER_CACHE: dict = {}
+# Bounded LRU: a long-lived server seeing many shapes (or reloading
+# models) must not pin compiled programs + model references forever.
+_RUNNER_CACHE: OrderedDict = OrderedDict()
+_RUNNER_CACHE_MAX = 8
 
 
-def scene_dispatch(model, params, bn_state, sample: dict, p,
+def scene_dispatch(model, params, bn_state, sample, p,
                    tile: int = 128, cap: int | None = None, mesh=None):
     """Dispatch one scene through the device-tiled program WITHOUT
     blocking: returns the on-device (H, W, 1) meters mosaic (a jax array
     whose computation is enqueued). The caller reads it with np.asarray
     when ready — the separation lets a serving loop overlap the next
     scene's host prep/upload with this scene's compute
-    (eval/serve.serve_scenes)."""
-    keys = [k for k in ("lr_dem", "image", "mask", "canopy", "coord")
-            if k in sample]
-    hw = np.asarray(sample["lr_dem"]).shape[:2]
-    enc = transfer_encodings(sample, keys)
+    (eval/serve.serve_scenes).
+
+    ``sample`` is a raw scene dict OR an already-built PreparedScene
+    (serving loops prepare in their loader thread)."""
+    prepared = (sample if isinstance(sample, PreparedScene)
+                else prepare_scene(sample, p, tile=tile))
     tk = p.get("tensor_kwargs") or {}
-    key = (id(model), tuple(keys), hw, tile, cap, id(mesh),
-           tuple(sorted(enc.items())),
+    key = (id(model), tuple(prepared.keys), prepared.hw, prepared.tile,
+           cap, id(mesh), tuple(sorted(prepared.enc.items())),
            tk.get("min"), tk.get("max"), tk.get("log", False),
            tk.get("scale_mask", False), bool(p.get("relative")),
            len(p.get("mask_channel") or list(range(15))),
            p.get("infer_tile_batch"), p.model_name.lower())
-    if key not in _RUNNER_CACHE:
-        # hold the model/mesh references so their ids can never be
-        # recycled onto different objects while the cache entry lives
-        _RUNNER_CACHE[key] = (model, mesh, *make_scene_runner(
-            model, p, keys, hw, tile=tile, cap=cap, mesh=mesh,
-            encodings=enc))
-    _, _, run, prep = _RUNNER_CACHE[key]
-    base = float(np.min(sample["lr_dem"])) if p.get("relative") else 0.0
-    scene = jax.device_put(prep(sample))
-    return run(params, bn_state, scene, jnp.float32(base))
+    hit = _RUNNER_CACHE.get(key)
+    if hit is None:
+        # the entry holds the model/mesh references so their ids cannot
+        # be recycled onto different objects while the entry lives
+        hit = (model, mesh, make_scene_runner(
+            model, p, prepared.keys, prepared.hw, tile=prepared.tile,
+            cap=cap, mesh=mesh, encodings=prepared.enc,
+            min_overlap=prepared.min_overlap))
+        _RUNNER_CACHE[key] = hit
+        if len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+            _RUNNER_CACHE.popitem(last=False)
+    else:
+        _RUNNER_CACHE.move_to_end(key)
+    run = hit[2]
+    scene = jax.device_put(prepared.arrays)
+    return run(params, bn_state, scene, jnp.float32(prepared.base))
 
 
 def tile_inference_device(model, params, bn_state, sample: dict, p,

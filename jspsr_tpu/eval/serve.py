@@ -31,6 +31,19 @@ import numpy as np
 from jspsr_tpu.eval.scene import scene_dispatch
 
 
+def scene_ext(path) -> str:
+    """Output raster extension for a scene: mirror the LR-DEM raster's
+    format (works for both the flat and the <modality>/<file> subdir
+    layouts) so .npy fixtures round-trip without a raster backend."""
+    from jspsr_tpu.eval.inference import _SCENE_ALIASES, _find_modality
+
+    path = Path(path)
+    if path.is_file():
+        return ".npy" if path.suffix == ".npy" else ".tif"
+    lr = _find_modality(path, _SCENE_ALIASES["lr_dem"])
+    return ".npy" if (lr is not None and lr.suffix == ".npy") else ".tif"
+
+
 def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
                  tile: int = 128, prefetch: int = 2, mesh=None):
     """Run device-tiled inference over many scenes with a 3-stage
@@ -54,14 +67,19 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
     out_paths: list = [None] * len(scene_paths)
 
     def loader():
+        from jspsr_tpu.eval.scene import prepare_scene
+
         for i, path in enumerate(scene_paths):
             try:
                 sample, profile = load_scene(path, p)
+                # pad/pack/validate here so the pure-host prep work
+                # overlaps the previous scene's device compute
+                prepared = prepare_scene(sample, p, tile=tile)
             except Exception as e:  # surface after drain
                 errors.append(e)
                 loaded.put(None)
                 return
-            loaded.put((i, path, sample, profile))
+            loaded.put((i, path, prepared, profile))
         loaded.put(None)
 
     def writer():
@@ -72,10 +90,7 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
             i, path, dev_out, profile = item
             try:
                 arr = np.asarray(dev_out)  # blocks until compute done
-                ext = ".npy" if path.suffix == ".npy" or any(
-                    f.suffix == ".npy" for f in
-                    (path.iterdir() if path.is_dir() else [])) else ".tif"
-                out_path = out_dir / f"{path.stem}_sr{ext}"
+                out_path = out_dir / f"{path.stem}_sr{scene_ext(path)}"
                 write_raster(out_path, arr.astype(np.float32),
                              dict(profile) if profile else None)
                 out_paths[i] = out_path
@@ -92,9 +107,9 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
         item = loaded.get()
         if item is None:
             break
-        i, path, sample, profile = item
+        i, path, prepared, profile = item
         try:
-            dev_out = scene_dispatch(model, params, bn_state, sample, p,
+            dev_out = scene_dispatch(model, params, bn_state, prepared, p,
                                      tile=tile, mesh=mesh)
         except Exception as e:
             errors.append(e)

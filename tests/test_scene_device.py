@@ -15,7 +15,7 @@ from jspsr_tpu.data.normalize import descale_data
 from jspsr_tpu.eval.scene import (
     device_tiling_supported,
     grid_weights,
-    make_scene_runner,
+    prepare_scene,
     tile_grid,
     tile_inference_device,
 )
@@ -213,6 +213,38 @@ def test_mesh_sharded_equals_single_device():
     sharded, _ = tile_inference_device(model, params, bn, s, p, tile=64,
                                        mesh=mesh)
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=5e-3)
+
+
+def test_nodata_scene_rejected_loudly():
+    """A DEM with nodata pixels (or any elevation outside the configured
+    range) must raise BEFORE upload with the scene range in the message —
+    the device program cannot assert, and silent NaN rasters are worse
+    (ToArray gives the host path the same loud failure)."""
+    s = _scene(64, 64, image=False)
+    s["lr_dem"][0, 0, 0] = -9999.0  # classic raster nodata
+    p = _p()
+    p["relative"] = False  # log(-9999 + 80) -> NaN without the guard
+    with pytest.raises(ValueError, match="nodata"):
+        prepare_scene(s, p, tile=64)
+    # relative=True silently absorbs -9999 as the base, pushing the top
+    # of the range out of [0,1] -> also rejected
+    p["relative"] = True
+    with pytest.raises(ValueError, match="outside"):
+        prepare_scene(s, p, tile=64)
+
+
+def test_prepared_scene_dispatch_path():
+    """serve-style flow: prepare_scene on one thread, dispatch with the
+    PreparedScene — same result as the raw-sample path."""
+    model, params, bn = _tiny_jspsr(seed=8)
+    p = _p()
+    s = _scene(160, 160, seed=8)
+    direct, _ = tile_inference_device(model, params, bn, s, p, tile=64)
+    prepared = prepare_scene(s, p, tile=64)
+    from jspsr_tpu.eval.scene import scene_dispatch
+
+    via_prep = np.asarray(scene_dispatch(model, params, bn, prepared, p))
+    np.testing.assert_array_equal(via_prep, direct)
 
 
 def test_supported_surface_gate():

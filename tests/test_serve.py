@@ -152,3 +152,16 @@ def test_cli_batch_infer(tmp_path):
     for op in paths:
         arr = read_raster(op)
         assert arr.shape == (96, 96, 1) and np.isfinite(arr).all()
+
+    # WITHOUT --tile the batch must respect the documented default: one
+    # whole-scene forward per scene (sequential route), not the tiled path
+    try:
+        paths2 = cli_main(["--config", str(cfg_path), "--infer", str(batch),
+                           "--out", str(tmp_path / "preds2"),
+                           "--result-dir", str(tmp_path / "res2")])
+    finally:
+        _sys.stdout = real_stdout
+    assert len(paths2) == 2
+    for op in paths2:
+        arr = read_raster(op)
+        assert arr.shape == (96, 96, 1) and np.isfinite(arr).all()
