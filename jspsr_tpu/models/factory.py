@@ -32,6 +32,7 @@ def build_model(p):
             generator_leaky=mk.get("generator_leaky", False),
             remat_stages=mk.get("remat_stages", False),
             fuse_stems=mk.get("fuse_stems", False),
+            eval_grouped=mk.get("eval_grouped", False),
             compute_dtype=mk.get("compute_dtype", None),
         )
     if name == "edsr":

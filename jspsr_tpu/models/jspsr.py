@@ -60,6 +60,7 @@ class JSPSR(Module):
         generator_leaky: bool = False,
         remat_stages: bool = False,
         fuse_stems: bool = False,
+        eval_grouped: bool = False,
         compute_dtype=None,
     ):
         super().__init__()
@@ -74,6 +75,15 @@ class JSPSR(Module):
         # PERF.md "fused stems"). Kept as an option because the tradeoff
         # reverses on MXU generations where tiny-Cin convs pad worse.
         self.fuse_stems = fuse_stems
+        # eval_grouped: run same-shape per-branch encoder BasicBlocks as ONE
+        # grouped conv across branches (feature_group_count = #branches,
+        # exact arithmetic — weights stay per-branch in the param tree and
+        # are concatenated at trace time). EVAL ONLY: the grouped-conv
+        # GRADIENTS measured slower than separate convs at every stage
+        # shape, but the grouped FORWARD wins at the MXU-hostile 64-ch
+        # stage-1 width (scripts/bench_branch_fuse.py, PERF.md "Grouped
+        # branch-conv fusion"). Train always uses the separate path.
+        self.eval_grouped = eval_grouped
         # compute_dtype: mixed-precision body. bfloat16 runs the encoder/
         # decoder/generator features in bf16 (2x MXU, half the HBM traffic
         # of the bandwidth-bound full-res layers) while keeping everything
@@ -221,6 +231,97 @@ class JSPSR(Module):
             feats[key] = jnp.maximum(sl, 0)
         return feats
 
+    # -- eval-only grouped branch execution -----------------------------
+    @staticmethod
+    def _grouped_block(blocks, ps, ss, xs):
+        """Run B same-shape BasicBlocks as one grouped-conv block.
+
+        Exact arithmetic: group g of a feature_group_count=B conv sees
+        exactly branch g's input slice with branch g's kernel — channel
+        concat of inputs, kernel concat on the output axis. Eval BatchNorm
+        is per-channel, so concatenated scale/bias/running-stats reproduce
+        each branch's normalization bit-for-bit."""
+        nb = len(blocks)
+        blk = blocks[0]
+        x = jnp.concatenate(xs, axis=-1)
+
+        def gconv(key, xx, stride, pad):
+            w = jnp.concatenate(
+                [(p[key]["conv"]["w"] if "conv" in p.get(key, {})
+                  else p[key]["w"]) for p in ps], axis=-1).astype(xx.dtype)
+            return jax.lax.conv_general_dilated(
+                xx, w, window_strides=stride, padding=(pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=nb)
+
+        def gbn(key, xx, eps, sub=None):
+            def leaf(tree, *path):
+                for k in path:
+                    tree = tree[k]
+                return tree
+
+            pre = (key, "bn") if sub else (key,)
+            scale = jnp.concatenate([leaf(p, *pre, "scale") for p in ps])
+            bias = jnp.concatenate([leaf(p, *pre, "bias") for p in ps])
+            mean = jnp.concatenate([leaf(s, *pre, "mean") for s in ss])
+            var = jnp.concatenate([leaf(s, *pre, "var") for s in ss])
+            inv = jax.lax.rsqrt(var + eps) * scale
+            return (xx - mean.astype(xx.dtype)) * inv.astype(xx.dtype) \
+                + bias.astype(xx.dtype)
+
+        stride = blk.conv1.stride
+        out = gconv("conv1", x, stride, (1, 1))
+        out = gbn("bn1", out, blk.bn1.eps)
+        out = jnp.maximum(out, 0)
+        out = gconv("conv2", out, (1, 1), (1, 1))
+        out = gbn("bn2", out, blk.bn2.eps)
+        if blk.downsample is not None:
+            res = gconv("downsample", x, stride, (0, 0))
+            res = gbn("downsample", res, blk.downsample.bn.eps, sub="bn")
+        else:
+            res = x
+        out = out * blk.scale + res
+        if blk.act:
+            out = jnp.maximum(out, 0)
+        planes = blk.conv1.out_channels
+        return [out[..., i * planes:(i + 1) * planes] for i in range(nb)]
+
+    def _grouped_stage(self, params, state, stage, feats):
+        """One encoder stage with same-shape branch blocks horizontally
+        fused (see eval_grouped). Branch blocks whose input width differs
+        (the DEM branch consumes the fused tensor at stages 2-4) run
+        separately; the rest run grouped."""
+        names = ["dem"] + (["img"] if self.has_img else []) \
+            + (["aux"] if self.aux_key else [])
+        seqs = {b: getattr(self, f"layer{stage}_{b}") for b in names}
+        acts = dict(feats)
+        for bi in range(len(seqs[names[0]].mods)):
+            blocks = {b: seqs[b].mods[bi][1] for b in names}
+            sig = {b: (blocks[b].conv1.in_channels, blocks[b].conv1.stride,
+                       blocks[b].downsample is not None) for b in names}
+            done = set()
+            for b in names:
+                if b in done:
+                    continue
+                grp = [g for g in names if g not in done and sig[g] == sig[b]]
+                done.update(grp)
+                if len(grp) == 1:
+                    lname = f"layer{stage}_{b}"
+                    acts[b], _ = blocks[b](
+                        params[lname][str(bi)],
+                        state.get(lname, {}).get(str(bi), {}),
+                        acts[b], train=False)
+                else:
+                    outs = self._grouped_block(
+                        [blocks[g] for g in grp],
+                        [params[f"layer{stage}_{g}"][str(bi)] for g in grp],
+                        [state.get(f"layer{stage}_{g}", {}).get(str(bi), {})
+                         for g in grp],
+                        [acts[g] for g in grp])
+                    for g, y in zip(grp, outs):
+                        acts[g] = y
+        return acts
+
     def __call__(self, params, state, inputs, train: bool = False,
                  rng=None):
         """inputs: list/tuple of NHWC arrays in input_keys() order.
@@ -269,12 +370,18 @@ class JSPSR(Module):
 
         fused = {}
         dem_in = feats["dem"]
+        grouped = (self.eval_grouped and not train and self.cat_only
+                   and self.num_branch >= 2)
         for s in range(1, 5):
-            branch_out = {"dem": run(f"layer{s}_dem", dem_in)}
-            if self.has_img:
-                branch_out["img"] = run(f"layer{s}_img", feats["img"])
-            if self.aux_key:
-                branch_out["aux"] = run(f"layer{s}_aux", feats["aux"])
+            if grouped:
+                branch_out = self._grouped_stage(
+                    params, state, s, {**feats, "dem": dem_in})
+            else:
+                branch_out = {"dem": run(f"layer{s}_dem", dem_in)}
+                if self.has_img:
+                    branch_out["img"] = run(f"layer{s}_img", feats["img"])
+                if self.aux_key:
+                    branch_out["aux"] = run(f"layer{s}_aux", feats["aux"])
             ordered = [branch_out["dem"]]
             if self.has_img:
                 ordered.append(branch_out["img"])
