@@ -247,6 +247,33 @@ def test_prepared_scene_dispatch_path():
     np.testing.assert_array_equal(via_prep, direct)
 
 
+def test_coord_scene_matches_host():
+    """coord guidance ([0,1] float passthrough, f32 transfer) through the
+    device-tiled path equals the host oracle."""
+    from jspsr_tpu.eval.inference import tile_inference
+    from jspsr_tpu.train.step import make_forward
+    from jspsr_tpu.models.jspsr import JSPSR
+
+    rng = np.random.default_rng(13)
+    h = w = 160
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    coord = np.stack([yy / (h - 1), xx / (w - 1)], axis=-1)
+    s = {"lr_dem": rng.uniform(10, 200, (h, w, 1)).astype(np.float32),
+         "coord": coord}
+    p = _p()
+    p["input_data"] = {"lr_dem": 1, "coord": 2}
+
+    model = JSPSR({"lr_dem": 1, "coord": 2}, num_feature=8,
+                  layers=(1, 1, 1, 1))
+    params, bn = model.init(jax.random.PRNGKey(7))
+    fwd = make_forward(model)
+    host = tile_inference(lambda x: fwd(params, bn, x), dict(s), p, tile=64)
+    base = float(np.min(s["lr_dem"]))
+    host_m = descale_data(np.clip(host, 0, 1), -80, 929, True) + base
+    dev, _ = tile_inference_device(model, params, bn, s, p, tile=64)
+    np.testing.assert_allclose(dev, host_m, atol=5e-3)
+
+
 def test_supported_surface_gate():
     assert device_tiling_supported(_p())
     assert not device_tiling_supported(_p(normalize=["lr_dem"]))

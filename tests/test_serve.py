@@ -111,6 +111,25 @@ def test_serve_bad_scene_raises(tmp_path):
                      tmp_path / "out", tile=64)
 
 
+def test_serve_mesh_sharded(tmp_path):
+    """Serving with a device mesh: tile batches shard over the data axis;
+    outputs equal the unsharded serve run."""
+    from jspsr_tpu.parallel.mesh import make_mesh
+
+    model, params, bn = _tiny_jspsr(seed=9)
+    p = _p()
+    batch = _make_batch_dir(tmp_path, n=2, seed=11)
+    scenes = discover_scenes(batch)
+    plain, _, _ = serve_scenes(model, params, bn, p, scenes,
+                               tmp_path / "out_plain", tile=64)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded, _, _ = serve_scenes(model, params, bn, p, scenes,
+                                 tmp_path / "out_mesh", tile=64, mesh=mesh)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(read_raster(b), read_raster(a),
+                                   rtol=2e-4, atol=5e-3)
+
+
 def test_cli_batch_infer(tmp_path):
     """--infer <batch dir> routes through the pipelined serving loop."""
     import yaml
