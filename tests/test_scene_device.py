@@ -274,6 +274,36 @@ def test_coord_scene_matches_host():
     np.testing.assert_allclose(dev, host_m, atol=5e-3)
 
 
+def test_edsr_stacked_assembly():
+    """EDSR-family models get ONE channel-stacked input tensor (the
+    _assemble else-branch); round-trips through the device-tiled path."""
+    from jspsr_tpu.models.edsr import EDSR
+
+    model = EDSR(in_channels=4, out_channels=1, n_resblocks=2,
+                 n_features=8)
+    params, bn = model.init(jax.random.PRNGKey(9))
+    p = _p(model_name="EDSR")
+    s = _scene(128, 128, seed=14)
+    out, _ = tile_inference_device(model, params, bn, s, p, tile=64)
+    assert out.shape == (128, 128, 1) and np.isfinite(out).all()
+
+
+class _TwoInputStub:
+    """CompletionFormer-style signature: [dem, stacked-guidance]."""
+
+    def __call__(self, params, bn_state, inputs, train=False):
+        dem, guide = inputs
+        assert guide.shape[-1] == 3, guide.shape  # image stacked alone
+        return dem, bn_state
+
+
+def test_completionformer_assembly():
+    p = _p(model_name="CompletionFormer")
+    s = _scene(128, 128, seed=15)
+    out, _ = tile_inference_device(_TwoInputStub(), {}, {}, s, p, tile=64)
+    np.testing.assert_allclose(out, s["lr_dem"], atol=0.05)
+
+
 def test_supported_surface_gate():
     assert device_tiling_supported(_p())
     assert not device_tiling_supported(_p(normalize=["lr_dem"]))
