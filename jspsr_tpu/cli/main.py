@@ -74,9 +74,13 @@ def main(argv=None):
             out_dir = Path(args.out or result_dir / "predictions")
             if (args.tile and device_tiling_supported(p)
                     and p.get("infer_device_tiling", True)):
+                # scene_batch 4: the measured sweet spot (PERF.md serving
+                # table; 8 edges it out in bf16, 12 over-batches)
+                sb = int(p.get("infer_scene_batch")
+                         or min(4, len(scenes)))
                 paths, t_ms, sps = serve_scenes(
                     model, params, bn_state, p, scenes, out_dir,
-                    tile=p.get("patch_size", 128))
+                    tile=p.get("patch_size", 128), scene_batch=sb)
             else:
                 # whole-scene per scene (no --tile), or the sequential
                 # fallback for config surfaces the device path can't cover

@@ -200,14 +200,21 @@ def prepare_scene(sample: dict, p, tile: int = 128,
 
 def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
                       cap: int | None = None, min_overlap: int = 16,
-                      mesh=None, encodings: dict | None = None):
+                      mesh=None, encodings: dict | None = None,
+                      scene_batch: int = 1):
     """Build the jitted scene program for one scene shape.
 
-    Returns run(params, bn_state, scene_arrays, base) -> the (H, W, 1)
-    mosaic in METERS (descale + relative base applied, matching
-    run_scene_inference's host post-processing order: blend raw tile
-    predictions, clip the mosaic to [0,1], then descale). The scene
-    arrays come from prepare_scene (padded, compact-encoded).
+    Returns run(params, bn_state, scene_arrays, base) -> the
+    (S, H, W, 1) mosaics in METERS (descale + relative base applied,
+    matching run_scene_inference's host post-processing order: blend raw
+    tile predictions, clip the mosaic to [0,1], then descale). The scene
+    arrays come from prepare_scene (padded, compact-encoded), stacked on
+    a leading scene axis of size ``scene_batch``; ``base`` is (S,).
+
+    scene_batch > 1 amortizes the per-dispatch cost over S same-shape
+    scenes: at small scene sizes the 9-tile forward is single-digit ms
+    while upload+dispatch dominate (PERF.md serving table), so batch
+    serving stacks scenes into ONE program whose forward sees S·n tiles.
 
     With ``mesh``, each forward chunk's tile batch is sharded over the
     mesh's data axis (tile-parallel inference, SURVEY §5.7): scene stays
@@ -216,20 +223,22 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
     h, w = scene_hw
     stride_r, n_r, ph = tile_grid(h, tile, min_overlap)
     stride_c, n_c, pw = tile_grid(w, tile, min_overlap)
-    n = n_r * n_c
+    n = n_r * n_c  # tiles per scene
+    S = int(scene_batch)
+    total = S * n
     cap = int(cap or p.get("infer_tile_batch") or 96)
-    m = math.ceil(n / cap)
-    chunk = math.ceil(n / m)
+    m = math.ceil(total / cap)
+    chunk = math.ceil(total / m)
     if mesh is not None:
         n_dev = mesh.devices.size
         chunk = math.ceil(chunk / n_dev) * n_dev  # shardable chunks
-    n_pad = m * chunk
+    total_pad = m * chunk
 
-    starts = np.zeros((n_pad, 2), np.int32)
+    starts = np.zeros((n, 2), np.int32)
     for t in range(n):
         starts[t] = (stride_r * (t // n_c), stride_c * (t % n_c))
-    weights = np.zeros((n_pad, tile, tile, 1), np.float32)
-    weights[:n, :, :, 0] = grid_weights(tile, stride_r, n_r, stride_c, n_c)
+    weights = np.zeros((n, tile, tile, 1), np.float32)
+    weights[:, :, :, 0] = grid_weights(tile, stride_r, n_r, stride_c, n_c)
     # Cross-fade ramps sum to 1 wherever exactly two tiles meet (every
     # reference grid); a ceil'd generalized grid can triple-overlap, so
     # normalize by the precomputed weight mosaic (exactly 1.0 on reference
@@ -268,19 +277,30 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
         bsh = batch_sharding(mesh)
 
     @jax.jit
-    def run(params, bn_state, scene: dict, base):
-        norm = {k: normalize(k, v, base) for k, v in scene.items()}
+    def run(params, bn_state, scenes: dict, base):
+        # scenes[k]: (S, ph, pw, C); base: (S,)
+        b4 = base[:, None, None, None]
+        norm = {k: normalize(k, v, b4) for k, v in scenes.items()}
 
-        def extract(x):
+        def extract(x):  # (S, ph, pw, C) -> (S*n, tile, tile, C)
             c = x.shape[-1]
 
-            def one(s):
-                return lax.dynamic_slice(x, (s[0], s[1], 0), (tile, tile, c))
+            def one_scene(xs):
+                def one(s):
+                    return lax.dynamic_slice(xs, (s[0], s[1], 0),
+                                             (tile, tile, c))
 
-            return jax.vmap(one)(starts_j)  # one fused gather
+                return jax.vmap(one)(starts_j)  # one fused gather
+
+            t = jax.vmap(one_scene)(x)  # (S, n, tile, tile, C)
+            return t.reshape((S * n,) + t.shape[2:])
 
         inputs = _assemble({k: extract(v) for k, v in norm.items()},
                            keys, p.model_name)
+        if total_pad > total:  # fill the last chunk (predictions dropped)
+            inputs = [jnp.concatenate(
+                [x, jnp.zeros((total_pad - total,) + x.shape[1:], x.dtype)],
+                axis=0) for x in inputs]
         preds = []
         for j in range(m):  # static chunk loop: one compiled forward reused
             sl = [x[j * chunk:(j + 1) * chunk] for x in inputs]
@@ -290,13 +310,18 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
                 sl = [lax.with_sharding_constraint(x, bsh) for x in sl]
             preds.append(model(params, bn_state, sl, train=False)[0])
         pred = jnp.concatenate(preds, 0) if m > 1 else preds[0]
-        pred = pred.astype(jnp.float32) * weights_j
+        pred = pred[:total].astype(jnp.float32)
+        pred = pred.reshape((S, n) + pred.shape[1:]) * weights_j[None]
 
         ri = (starts_j[:, 0:1] + jnp.arange(tile, dtype=jnp.int32))[:, :, None]
         ci = (starts_j[:, 1:2] + jnp.arange(tile, dtype=jnp.int32))[:, None, :]
-        out = jnp.zeros((ph, pw, 1), jnp.float32).at[ri, ci].add(pred)
-        out = jnp.clip((out / wsum_j)[:h, :w], 0.0, 1.0)
-        return descale_data(out, emin, emax, elog) + base
+
+        def mosaic(pr):  # (n, tile, tile, 1) -> (ph, pw, 1)
+            return jnp.zeros((ph, pw, 1), jnp.float32).at[ri, ci].add(pr)
+
+        out = jax.vmap(mosaic)(pred)  # (S, ph, pw, 1)
+        out = jnp.clip((out / wsum_j[None])[:, :h, :w], 0.0, 1.0)
+        return descale_data(out, emin, emax, elog) + b4
 
     return run
 
@@ -308,6 +333,45 @@ def make_scene_runner(model, p, keys: list, scene_hw, tile: int = 128,
 # models) must not pin compiled programs + model references forever.
 _RUNNER_CACHE: OrderedDict = OrderedDict()
 _RUNNER_CACHE_MAX = 8
+
+
+def scene_dispatch_batch(model, params, bn_state, prepared_list, p,
+                         cap: int | None = None, mesh=None):
+    """Dispatch S same-shape PreparedScenes through ONE stacked program
+    without blocking: returns the on-device (S, H, W, 1) meters mosaics.
+    All scenes must share (keys, hw, enc, tile) — group first
+    (serve.compatible_key)."""
+    first = prepared_list[0]
+    S = len(prepared_list)
+    assert all(pr.keys == first.keys and pr.hw == first.hw
+               and pr.enc == first.enc and pr.tile == first.tile
+               for pr in prepared_list), "scene batch must be homogeneous"
+    tk = p.get("tensor_kwargs") or {}
+    key = (id(model), tuple(first.keys), first.hw, first.tile, cap,
+           id(mesh), S, tuple(sorted(first.enc.items())),
+           tk.get("min"), tk.get("max"), tk.get("log", False),
+           tk.get("scale_mask", False), bool(p.get("relative")),
+           len(p.get("mask_channel") or list(range(15))),
+           p.get("infer_tile_batch"), p.model_name.lower())
+    hit = _RUNNER_CACHE.get(key)
+    if hit is None:
+        # the entry holds the model/mesh references so their ids cannot
+        # be recycled onto different objects while the entry lives
+        hit = (model, mesh, make_scene_runner(
+            model, p, first.keys, first.hw, tile=first.tile,
+            cap=cap, mesh=mesh, encodings=first.enc,
+            min_overlap=first.min_overlap, scene_batch=S))
+        _RUNNER_CACHE[key] = hit
+        if len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+            _RUNNER_CACHE.popitem(last=False)
+    else:
+        _RUNNER_CACHE.move_to_end(key)
+    run = hit[2]
+    stacked = {k: np.stack([pr.arrays[k] for pr in prepared_list])
+               for k in first.keys}
+    base = np.asarray([pr.base for pr in prepared_list], np.float32)
+    return run(params, bn_state, jax.device_put(stacked),
+               jnp.asarray(base))
 
 
 def scene_dispatch(model, params, bn_state, sample, p,
@@ -323,29 +387,9 @@ def scene_dispatch(model, params, bn_state, sample, p,
     (serving loops prepare in their loader thread)."""
     prepared = (sample if isinstance(sample, PreparedScene)
                 else prepare_scene(sample, p, tile=tile))
-    tk = p.get("tensor_kwargs") or {}
-    key = (id(model), tuple(prepared.keys), prepared.hw, prepared.tile,
-           cap, id(mesh), tuple(sorted(prepared.enc.items())),
-           tk.get("min"), tk.get("max"), tk.get("log", False),
-           tk.get("scale_mask", False), bool(p.get("relative")),
-           len(p.get("mask_channel") or list(range(15))),
-           p.get("infer_tile_batch"), p.model_name.lower())
-    hit = _RUNNER_CACHE.get(key)
-    if hit is None:
-        # the entry holds the model/mesh references so their ids cannot
-        # be recycled onto different objects while the entry lives
-        hit = (model, mesh, make_scene_runner(
-            model, p, prepared.keys, prepared.hw, tile=prepared.tile,
-            cap=cap, mesh=mesh, encodings=prepared.enc,
-            min_overlap=prepared.min_overlap))
-        _RUNNER_CACHE[key] = hit
-        if len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
-            _RUNNER_CACHE.popitem(last=False)
-    else:
-        _RUNNER_CACHE.move_to_end(key)
-    run = hit[2]
-    scene = jax.device_put(prepared.arrays)
-    return run(params, bn_state, scene, jnp.float32(prepared.base))
+    out = scene_dispatch_batch(model, params, bn_state, [prepared], p,
+                               cap=cap, mesh=mesh)
+    return out[0]
 
 
 def tile_inference_device(model, params, bn_state, sample: dict, p,

@@ -28,8 +28,6 @@ from pathlib import Path
 
 import numpy as np
 
-from jspsr_tpu.eval.scene import scene_dispatch
-
 
 def scene_ext(path) -> str:
     """Output raster extension for a scene: mirror the LR-DEM raster's
@@ -44,8 +42,15 @@ def scene_ext(path) -> str:
     return ".npy" if (lr is not None and lr.suffix == ".npy") else ".tif"
 
 
+def _compat_key(prepared):
+    """Scenes sharing this key can stack into one batched program."""
+    return (tuple(prepared.keys), prepared.hw,
+            tuple(sorted(prepared.enc.items())), prepared.tile)
+
+
 def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
-                 tile: int = 128, prefetch: int = 2, mesh=None):
+                 tile: int = 128, prefetch: int = 2, mesh=None,
+                 scene_batch: int = 1):
     """Run device-tiled inference over many scenes with a 3-stage
     pipeline. Returns (list of output paths, elapsed_ms, scenes_per_s).
 
@@ -53,15 +58,23 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
     load_scene format. Outputs land in ``out_dir/<scene name>_sr.tif``
     (``.npy`` when the scene raster was .npy). Exceptions from any stage
     propagate to the caller after the pipeline drains.
+
+    ``scene_batch`` > 1 stacks that many consecutive same-shape scenes
+    into ONE device program (eval/scene.scene_dispatch_batch): at small
+    scene sizes upload+dispatch dominate over the tile forward, so
+    batching amortizes them. Partial tail groups pad by repeating the
+    last scene (outputs dropped); incompatible shapes flush the group.
     """
     from jspsr_tpu.data.raster_io import write_raster
     from jspsr_tpu.eval.inference import load_scene
+    from jspsr_tpu.eval.scene import scene_dispatch_batch
 
     scene_paths = [Path(s) for s in scene_paths]
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    scene_batch = max(1, int(scene_batch))
 
-    loaded: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    loaded: queue.Queue = queue.Queue(maxsize=max(scene_batch, prefetch))
     done: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     errors: list = []
     out_paths: list = [None] * len(scene_paths)
@@ -87,13 +100,15 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
             item = done.get()
             if item is None:
                 return
-            i, path, dev_out, profile = item
+            idxs, paths, dev_out, profiles = item
             try:
                 arr = np.asarray(dev_out)  # blocks until compute done
-                out_path = out_dir / f"{path.stem}_sr{scene_ext(path)}"
-                write_raster(out_path, arr.astype(np.float32),
-                             dict(profile) if profile else None)
-                out_paths[i] = out_path
+                for j, (i, path, profile) in enumerate(
+                        zip(idxs, paths, profiles)):
+                    out_path = out_dir / f"{path.stem}_sr{scene_ext(path)}"
+                    write_raster(out_path, arr[j].astype(np.float32),
+                                 dict(profile) if profile else None)
+                    out_paths[i] = out_path
             except Exception as e:
                 errors.append(e)
 
@@ -103,23 +118,47 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
     t_loader.start()
     t_writer.start()
     n_done = 0
-    while True:
-        item = loaded.get()
-        if item is None:
-            break
-        i, path, prepared, profile = item
+    buf: list = []
+
+    def flush():
+        nonlocal n_done
+        if not buf:
+            return True
+        group = [b[2] for b in buf]
+        if scene_batch > 1:  # pad the tail so one program serves all
+            group = group + [group[-1]] * (scene_batch - len(group))
         try:
-            dev_out = scene_dispatch(model, params, bn_state, prepared, p,
-                                     tile=tile, mesh=mesh)
+            dev = scene_dispatch_batch(model, params, bn_state, group, p,
+                                       mesh=mesh)
         except Exception as e:
             errors.append(e)
-            # drain the loader so it can finish (it may be blocked on a
-            # full queue); items are discarded
-            while loaded.get() is not None:
-                pass
+            return False
+        done.put(([b[0] for b in buf], [b[1] for b in buf], dev,
+                  [b[3] for b in buf]))
+        n_done += len(buf)
+        buf.clear()
+        return True
+
+    ok = True
+    while ok:
+        item = loaded.get()
+        if item is None:
+            ok = flush()
             break
-        done.put((i, path, dev_out, profile))
-        n_done += 1
+        if buf and (_compat_key(item[2]) != _compat_key(buf[0][2])
+                    or len(buf) == scene_batch):
+            if not flush():
+                # drain the loader so it can finish (it may be blocked
+                # on a full queue); items are discarded
+                while loaded.get() is not None:
+                    pass
+                break
+        buf.append(item)
+        if len(buf) == scene_batch:
+            if not flush():
+                while loaded.get() is not None:
+                    pass
+                break
     done.put(None)
     t_writer.join()
     t_loader.join()

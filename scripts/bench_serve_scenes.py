@@ -64,6 +64,8 @@ def main():
 
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 334
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    sbs = (tuple(int(x) for x in sys.argv[3].split(","))
+           if len(sys.argv) > 3 else (1, 4))
 
     rows = []
     with tempfile.TemporaryDirectory() as td:
@@ -88,18 +90,24 @@ def main():
                              arr.astype(np.float32), dict(prof))
             serial_ms = (time.perf_counter() - t0) * 1000
 
-            # pipelined arm
-            t0 = time.perf_counter()
-            _, pipe_ms, sps = serve_scenes(model, params, bn_state, p,
-                                           scenes, Path(td) / f"pipe_{tag}")
-            rows.append({
-                "case": f"serve_{size}_{tag}", "n": n,
-                "serial_ms_per_scene": round(serial_ms / n, 1),
-                "pipelined_ms_per_scene": round(pipe_ms / n, 1),
-                "scenes_per_s": round(sps, 2),
-                "speedup": round(serial_ms / pipe_ms, 2),
-            })
-            print(json.dumps(rows[-1]), flush=True)
+            # pipelined arm + scene-batched arms (one program per S
+            # consecutive same-shape scenes); first run warms the compile
+            # (scene_batch programs are per-S), second run is the number
+            for sb in sbs:
+                serve_scenes(model, params, bn_state, p,
+                             scenes[:sb], Path(td) / f"warm_{tag}_{sb}",
+                             scene_batch=sb)
+                _, pipe_ms, sps = serve_scenes(
+                    model, params, bn_state, p, scenes,
+                    Path(td) / f"pipe_{tag}_{sb}", scene_batch=sb)
+                rows.append({
+                    "case": f"serve_{size}_{tag}_sb{sb}", "n": n,
+                    "serial_ms_per_scene": round(serial_ms / n, 1),
+                    "pipelined_ms_per_scene": round(pipe_ms / n, 1),
+                    "scenes_per_s": round(sps, 2),
+                    "speedup": round(serial_ms / pipe_ms, 2),
+                })
+                print(json.dumps(rows[-1]), flush=True)
 
     print("\n| case | serial ms/scene | pipelined ms/scene | scenes/s | speedup |")
     print("|---|---|---|---|---|")

@@ -111,6 +111,47 @@ def test_serve_bad_scene_raises(tmp_path):
                      tmp_path / "out", tile=64)
 
 
+def test_serve_scene_batched(tmp_path):
+    """scene_batch=2 over 5 scenes (two full groups + padded tail) writes
+    the same rasters as unbatched serving."""
+    model, params, bn = _tiny_jspsr(seed=12)
+    p = _p()
+    batch = _make_batch_dir(tmp_path, n=5, seed=13)
+    scenes = discover_scenes(batch)
+    plain, _, _ = serve_scenes(model, params, bn, p, scenes,
+                               tmp_path / "o1", tile=64)
+    batched, _, sps = serve_scenes(model, params, bn, p, scenes,
+                                   tmp_path / "o2", tile=64, scene_batch=2)
+    assert sps > 0
+    for a, b in zip(plain, batched):
+        np.testing.assert_allclose(read_raster(b), read_raster(a),
+                                   rtol=2e-4, atol=5e-3)
+
+
+def test_serve_scene_batched_mixed_shapes(tmp_path):
+    """A shape change mid-stream flushes the group; every scene still
+    completes with its own shape."""
+    rng = np.random.default_rng(17)
+    batch = tmp_path / "batch"
+    sizes = (96, 96, 130, 96)
+    for i, size in enumerate(sizes):
+        d = batch / f"s{i}"
+        d.mkdir(parents=True)
+        write_raster(d / "lr_dem.npy",
+                     rng.uniform(10, 200, (size, size, 1))
+                     .astype(np.float32))
+        write_raster(d / "image.npy",
+                     rng.integers(0, 255, (size, size, 3))
+                     .astype(np.uint8))
+    model, params, bn = _tiny_jspsr(seed=13)
+    paths, _, _ = serve_scenes(model, params, bn, _p(),
+                               discover_scenes(batch), tmp_path / "out",
+                               tile=64, scene_batch=3)
+    got = {op.name: read_raster(op).shape for op in paths}
+    assert got == {"s0_sr.npy": (96, 96, 1), "s1_sr.npy": (96, 96, 1),
+                   "s2_sr.npy": (130, 130, 1), "s3_sr.npy": (96, 96, 1)}
+
+
 def test_serve_mesh_sharded(tmp_path):
     """Serving with a device mesh: tile batches shard over the data axis;
     outputs equal the unsharded serve run."""
