@@ -106,7 +106,10 @@ def main(argv=None):
 
     trainer = Trainer(p, result_dir=result_dir)
 
-    if args.val:
+    # `val_weight: True` in the YAML is the config-side spelling of --val
+    # (reference main.py:36-44 sets configs["val_weight"]=True from the flag
+    # and :148-160 branches on the key, so a config can request eval-only)
+    if args.val or p.get("val_weight"):
         assert ckpt, "--val requires model_kwargs.checkpoint"
         trainer.load(ckpt, resume=False)
         pred_dir = result_dir / "predictions"

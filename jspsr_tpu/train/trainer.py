@@ -201,6 +201,10 @@ class Trainer:
         self.metrics = MetricLogger(
             self.result_dir, p.get("monitor_app") == "tensorboard"
         )
+        # the reference records the dataset sizes into the config before
+        # dumping it (main.py:97-98 writes p.num_train_sample/num_val_sample)
+        p["num_train_sample"] = len(self.train_set)
+        p["num_val_sample"] = len(self.valid_set)
         serialize_config(dict(p), self.result_dir / "config.json")
 
         es = p.get("early_stop") or {}

@@ -64,11 +64,18 @@ def test_batched_eval_matches_bs1(env, tmp_path, batch):
     # vectorization differences between batch shapes (the log-minmax
     # descale's exp reorders rounding at different tile widths; observed
     # up to ~3.3e-4 depending on backend/fusion order — e.g. the committed
-    # mesh placement of the params shifts XLA's fusion choices)
+    # mesh placement of the params shifts XLA's fusion choices). The
+    # quantile metrics (Median/LE95) get a wider band: a quantile is an
+    # order statistic, so an eps-level pixel reordering can swap which
+    # sample sits at the cut point and move the score by the inter-sample
+    # gap (observed 7.3e-4 on Median under xdist scheduling), where the
+    # mean-based metrics stay within the eps-level drift itself.
     for k in ("loss", "PSNR", "SSIM", "RMSE", "Median", "LE95"):
-        np.testing.assert_allclose(rb[k], r1[k], rtol=5e-4, err_msg=k)
+        rtol = 3e-3 if k in ("Median", "LE95") else 5e-4
+        np.testing.assert_allclose(rb[k], r1[k], rtol=rtol, err_msg=k)
     for k, v in r1["input"].items():
-        np.testing.assert_allclose(rb["input"][k], v, rtol=5e-4, err_msg=k)
+        rtol = 3e-3 if k in ("Median", "LE95") else 5e-4
+        np.testing.assert_allclose(rb["input"][k], v, rtol=rtol, err_msg=k)
 
 
 def test_mesh_sharded_eval_matches_single_device(env, tmp_path):

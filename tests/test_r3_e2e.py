@@ -68,3 +68,17 @@ def test_r3_tiled_cli_end_to_end(tmp_path):
     csv_text = (tmp_path / "val" / "summary.csv").read_text()
     assert "FATHOM" in csv_text and "offline" in csv_text
     assert (tmp_path / "val" / "final_dist.png").exists()
+
+    # the serialized config records the dataset sizes like the reference
+    # (main.py:97-98 writes p.num_train_sample/num_val_sample before dump)
+    dumped = json.loads((tmp_path / "run" / "config.json").read_text())
+    assert dumped["num_train_sample"] == 9  # 1 train scene x 9 tiles
+    assert dumped["num_val_sample"] == 9
+
+    # `val_weight: True` in the YAML is the config-side spelling of --val
+    # (reference main.py:36-44,148-160)
+    cfg["val_weight"] = True
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    res2 = main(["--config", str(cfg_path),
+                 "--result-dir", str(tmp_path / "val_weight")])
+    assert np.isfinite(res2["RMSE"])
