@@ -109,12 +109,14 @@ def measure_train(batch, remat_stages, iters=10, warmup=2, trials=TRIALS,
     return out
 
 
-def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
+def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=4, scenes=480):
     """END-TO-END Trainer throughput on synthetic DFC30 at the shipped
     bf16 feed config: HBM-resident device scene cache — crop + augment +
     normalize on device, no host batch assembly (data/device_cache.py;
     0.946 of the resident step, vs 0.60 for the best host feed).
-    Returns the best post-compile epoch tiles/s. The step program shares
+    Returns the post-compile per-epoch tiles/s (epoch 0 pays the step +
+    normalize compiles) so the captured JSON carries variance evidence,
+    not a single number (round-3 VERDICT #3). The step program shares
     shapes with the resident train_bf16 probe, so most of the compile is
     already cached in-process."""
     from scripts.bench_trainer_e2e import (ensure_fixture, make_config,
@@ -124,14 +126,16 @@ def measure_trainer_e2e(batch=48, dtype="bfloat16", epochs=3, scenes=480):
                                scenes)
     cfg = make_config(data_root, batch, dtype,
                       device_normalize=True, device_cache=True)
-    best, _ = run_epochs(cfg, epochs, "bench_headline",
-                         result_dir="/tmp/bench_e2e_headline/run")
-    return [best]
+    _, tps_epochs = run_epochs(cfg, epochs, "bench_headline",
+                               result_dir="/tmp/bench_e2e_headline/run")
+    return tps_epochs[1:] if len(tps_epochs) > 1 else tps_epochs
 
 
-def measure_scene(size=1024, trials=TRIALS, **model_kw):
+def measure_scene(size=1024, trials=5, **model_kw):
     """Device-tiled whole-scene latency (eval/scene.py): end-to-end
-    upload+compute+download ms per scene, best-of-N (lowest)."""
+    upload+compute+download ms per scene, best-of-N (lowest; N=5 per
+    round-3 VERDICT #2 — the 1024^2 point showed 12% tunnel spread at
+    N=3)."""
     import __graft_entry__ as g
     from scripts.bench_infer_scene import make_p, make_scene
     from jspsr_tpu.eval.scene import tile_inference_device
@@ -144,6 +148,34 @@ def measure_scene(size=1024, trials=TRIALS, **model_kw):
         _, ms = tile_inference_device(model, params, bn_state, sample, p)
         out.append(ms)
     return out[1:]
+
+
+def measure_serving(size=334, n=12, scene_batch=4, trials=TRIALS,
+                    compute_dtype="bfloat16"):
+    """Batch-serving throughput (eval/serve.py): scenes/s through the
+    3-stage pipelined loop with scene batching, including raster IO —
+    the README serving headline, captured in the driver artifact
+    (round-3 VERDICT #5: the serving number was never in BENCH_r*.json)."""
+    import tempfile
+
+    import __graft_entry__ as g
+    from scripts.bench_serve_scenes import make_p, write_scenes
+    from jspsr_tpu.eval.serve import serve_scenes
+
+    model, params, bn_state = g._flagship(compute_dtype=compute_dtype)
+    p = make_p(compute_dtype)
+    out = []
+    with tempfile.TemporaryDirectory() as td:
+        scenes = write_scenes(Path(td) / "scenes", n, size)
+        # warm the per-S compiled program
+        serve_scenes(model, params, bn_state, p, scenes[:scene_batch],
+                     Path(td) / "warm", scene_batch=scene_batch)
+        for t in range(trials):
+            _, _, sps = serve_scenes(model, params, bn_state, p, scenes,
+                                     Path(td) / f"run{t}",
+                                     scene_batch=scene_batch)
+            out.append(sps)
+    return out
 
 
 def _arm_watchdog():
@@ -227,22 +259,32 @@ def main():
 
     # device-tiled whole-scene inference latency at 1024^2 (eval/scene.py);
     # latency is lower-is-better so it gets its own points record rather
-    # than the throughput probe() path
-    scene_ms = None
-    try:
-        scene_trials = measure_scene()
-        scene_ms = min(scene_trials)
-        points["scene_1024_dev_tiled_fp32"] = {
+    # than the throughput probe() path. fp32 AND bf16, best-of-5 each
+    # (round-3 VERDICT #2).
+    scene_ms = {}
+
+    def probe_scene(name, **kw):
+        try:
+            scene_trials = measure_scene(**kw)
+        except Exception as e:
+            print(f"# {name} failed: {e}", file=sys.stderr)
+            return
+        best = min(scene_trials)
+        scene_ms[name] = best
+        points[name] = {
             "ms_trials": [round(t, 1) for t in scene_trials],
-            "ms_best": round(scene_ms, 1),
-            "spread_pct": round((max(scene_trials) - scene_ms)
-                                / scene_ms * 100, 1),
+            "ms_best": round(best, 1),
+            "spread_pct": round((max(scene_trials) - best) / best * 100, 1),
         }
-        print(f"# scene_1024_dev_tiled_fp32: {scene_ms:.1f} ms "
-              f"(trials {points['scene_1024_dev_tiled_fp32']['ms_trials']})",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"# scene_1024_dev_tiled_fp32 failed: {e}", file=sys.stderr)
+        print(f"# {name}: {best:.1f} ms "
+              f"(trials {points[name]['ms_trials']})", file=sys.stderr)
+
+    probe_scene("scene_1024_dev_tiled_fp32")
+    probe_scene("scene_1024_dev_tiled_bf16", compute_dtype="bfloat16")
+
+    # batch-serving scenes/s at the 334^2 protocol size (eval/serve.py),
+    # pipelined + scene-batched — the README serving headline
+    serving_sps = probe("serve_334_bf16_sb4", measure_serving)
 
     try:
         cpu_tps = _cpu_baseline()
@@ -267,8 +309,14 @@ def main():
         "e2e_trainer_tiles_per_sec": (round(e2e_tps, 1) if e2e_tps else None),
         "e2e_vs_resident_ratio": (round(e2e_tps / train_bf16_tps, 3)
                                   if e2e_tps and train_bf16_tps else None),
-        "scene_1024_dev_tiled_ms": (round(scene_ms, 1)
-                                    if scene_ms else None),
+        "scene_1024_dev_tiled_ms": (
+            round(scene_ms["scene_1024_dev_tiled_fp32"], 1)
+            if "scene_1024_dev_tiled_fp32" in scene_ms else None),
+        "scene_1024_dev_tiled_bf16_ms": (
+            round(scene_ms["scene_1024_dev_tiled_bf16"], 1)
+            if "scene_1024_dev_tiled_bf16" in scene_ms else None),
+        "serve_334_bf16_scenes_per_sec": (round(serving_sps, 2)
+                                          if serving_sps else None),
     }))
 
 

@@ -110,7 +110,11 @@ def main(argv=None):
     # (reference main.py:36-44 sets configs["val_weight"]=True from the flag
     # and :148-160 branches on the key, so a config can request eval-only)
     if args.val or p.get("val_weight"):
-        assert ckpt, "--val requires model_kwargs.checkpoint"
+        if not ckpt:
+            # reference raises here too (main.py:160-161); ValueError (not
+            # assert) so the guard survives python -O and names both spellings
+            raise ValueError(
+                "val_weight/--val requires model_kwargs.checkpoint")
         trainer.load(ckpt, resume=False)
         pred_dir = result_dir / "predictions"
         result = trainer.evaluate(compare_input=True, save_dir=pred_dir)

@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh
 
 from jspsr_tpu.config.loader import AttrDict
 from jspsr_tpu.data.loader import input_kinds
@@ -67,7 +68,7 @@ class DeviceSceneCache:
     """HBM-resident raw scene stacks + a jitted crop/augment/normalize
     sampler for one DFC30 split.
 
-    Requires: single process, uniform scene shapes, square crops, the
+    Requires: uniform scene shapes, square crops, the
     device_normalize-supported config surface (per-modality inputs, no
     stats Normalize list, default ranges). The train transform pipeline
     must be crop [+ RandomFlipRotate90] (what build_transforms emits with
@@ -75,9 +76,33 @@ class DeviceSceneCache:
     """
 
     def __init__(self, dataset, p, mesh, transform=None, budget_gb=None):
-        assert jax.process_count() == 1, (
-            "device_cache is single-process; multi-host feeds stay on the "
-            "host path (parallel/mesh.shard_batch)")
+        # Multi-host: each process keeps the FULL scene stacks replicated
+        # over its LOCAL devices (identical per-chip HBM cost to the
+        # single-host layout) and runs the crop/augment/normalize sampler
+        # as a process-local jit over a local sub-mesh; the per-device
+        # output buffers are then stitched into the global batch-sharded
+        # array with jax.make_array_from_single_device_arrays — no host
+        # round-trip, no cross-host data movement (each process's loader
+        # shard indices are exactly the global rows its devices own, the
+        # same contract as the host feed's make_array_from_process_local_data
+        # in parallel/mesh.shard_batch).
+        self.nproc = jax.process_count()
+        self.global_mesh = mesh
+        if self.nproc > 1:
+            gsh = batch_sharding(mesh)
+            ndev = int(mesh.devices.size)
+            # one nominal row per device -> each addressable device's global
+            # row; orders the local mesh by global position and checks this
+            # process's block is contiguous (row k of the local sampler
+            # output must be global row proc_offset + k)
+            imap = gsh.addressable_devices_indices_map((ndev,))
+            order = sorted(imap.items(), key=lambda kv: kv[1][0].start or 0)
+            rows = [sl[0].start or 0 for _, sl in order]
+            assert rows == list(range(rows[0], rows[0] + len(rows))), (
+                f"device_cache multi-host needs this process's devices "
+                f"contiguous in the mesh; got global rows {rows}")
+            mesh = Mesh(np.array([d for d, _ in order]), ("data",))
+        self.mesh_local = mesh
         self.seed = dataset.seed
         self.ppi = dataset.patches_per_image
         self.crop, self.aug = self._split_transform(
@@ -210,10 +235,34 @@ class DeviceSceneCache:
 
     def sample_batch(self, indices, epoch: int):
         """(inputs, gt) for a batch of dataset indices — normalized, on
-        device, batch-sharded; bit-identical content to the host path."""
-        img, r0, c0, ang, flr, fud = self.draw_batch(indices, epoch)
-        return self._sampler(self.scenes, self.base_all,
-                             img, r0, c0, ang, flr, fud)
+        device, batch-sharded; bit-identical content to the host path.
+
+        Multi-process: ``indices`` are this process's LOCAL loader shard
+        (global dataset indices, so the RNG replay is identical to the
+        host pipeline); the local sampler output is stitched into the
+        global batch-sharded array from the per-device buffers."""
+        draws = self.draw_batch(indices, epoch)
+        if self.nproc > 1:
+            # jit refuses numpy + non-trivial shardings multi-process; the
+            # local mesh is fully addressable so an explicit device_put is
+            # legal and equivalent
+            lsh = batch_sharding(self.mesh_local)
+            draws = tuple(jax.device_put(v, lsh) for v in draws)
+        img, r0, c0, ang, flr, fud = draws
+        out = self._sampler(self.scenes, self.base_all,
+                            img, r0, c0, ang, flr, fud)
+        if self.nproc == 1:
+            return out
+        gsh = batch_sharding(self.global_mesh)
+        gb = len(indices) * self.nproc
+
+        def to_global(x):
+            shards = sorted(x.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return jax.make_array_from_single_device_arrays(
+                (gb,) + x.shape[1:], gsh, [s.data for s in shards])
+
+        return jax.tree_util.tree_map(to_global, out)
 
     def epoch_batches(self, loader, epoch: int):
         """Yield (inputs, gt, batch_size) in the loader's exact epoch order

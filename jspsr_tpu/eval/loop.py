@@ -89,7 +89,8 @@ def eval_model(
     chip (requires valid_batch_size divisible by the mesh size; the padded
     remainder batch keeps the same compiled shape). Metric semantics are
     unchanged: meters reduce per sample on device, so sharded scores equal
-    single-device scores (verified in tests/test_parallel.py).
+    single-device scores (verified in tests/test_train.py and
+    tests/test_eval_batched.py mesh-sharded cases).
 
     ``normalize``: raw-feed device normalizer (``device_normalize: true`` —
     data/normalize.make_device_normalize). When set, the loader ships RAW

@@ -18,6 +18,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 _NPROC = int(sys.argv[3])
+assert _NPROC in (1, 2, 4), (
+    f"nproc={_NPROC} unsupported: the 4-device global mesh needs 4 % nproc == 0"
+)
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={4 // _NPROC}"
 )
@@ -107,6 +110,90 @@ def train_mode(pid):
     print(f"TRAIN process {pid} trace={trace[0]:.9f},{trace[1]:.9f} "
           f"checksum={checksum:.6f}")
 
+    # checkpoint leg: every process calls save_checkpoint but only process
+    # 0 writes (train/checkpoint.py:50-51 — the proc-0 gate this test
+    # exercises under a REAL multi-process runtime); after a global
+    # barrier all processes reload the file and must see the exact
+    # updated params.
+    ckpt_path = sys.argv[5] if len(sys.argv) > 5 else None
+    if ckpt_path:
+        from jax.experimental import multihost_utils
+
+        from jspsr_tpu.train.checkpoint import (flatten_tree,
+                                                load_checkpoint,
+                                                save_checkpoint)
+
+        save_checkpoint(ckpt_path, state.params, state.bn_state,
+                        opt_state=state.opt_state, epoch=1)
+        if _NPROC > 1:
+            multihost_utils.sync_global_devices("ckpt_written")
+        ck = load_checkpoint(ckpt_path)
+        want = flatten_tree(jax.device_get(state.params))
+        got = flatten_tree(ck["params"])
+        assert set(got) == set(want), (set(got) ^ set(want))
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+        assert ck["epoch"] == 1, ck["epoch"]
+        print(f"CKPT process {pid} ok keys={len(want)}")
+
+
+def cache_mode(pid, data_root):
+    """Multi-host device_cache equality: each process caches the full raw
+    scene stacks on its LOCAL devices and samples its loader shard with a
+    process-local jit; the stitched global batches must be bit-identical
+    (to fp32 normalize tolerance) to the host shard_batch feed the trainer
+    would otherwise use (data/device_cache.py multi-process path)."""
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.data.device_cache import DeviceSceneCache
+    from jspsr_tpu.data.dfc30 import DFC30
+    from jspsr_tpu.data.loader import DataLoader, build_batch_inputs
+    from jspsr_tpu.data.normalize import make_device_normalize
+    from jspsr_tpu.data.transforms import build_transforms
+    from jspsr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+    p = AttrDict({
+        "name": "mh_cache", "dataset": "DFC30", "dataset_path": data_root,
+        "resolution": 8, "train_set": ["Brest"], "valid_set": ["Vannes"],
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": True, "patch_size": 32,
+        "crop_mode": "random", "patches_per_image": 1,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+        "seed": 0, "verbose": False, "device_normalize": True,
+    })
+    mesh = make_mesh()
+    train_tf, _ = build_transforms(p)
+    ds = DFC30(split="train", transform=train_tf, seed=p.seed,
+               **{k: v for k, v in p.items() if k != "seed"})
+    cache = DeviceSceneCache(ds, p, mesh)
+    loader = DataLoader(ds, 2, shuffle=True, drop_last=True, num_workers=1,
+                        seed=p.seed, shard_index=pid,
+                        num_shards=jax.process_count())
+    epoch = 1
+    loader.set_epoch(epoch)
+    normalize = make_device_normalize(p)
+    pull = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+
+    host_batches = []
+    for batch in loader:  # the host feed the trainer uses multi-process
+        inputs_np, gt_np, base, _ = build_batch_inputs(
+            batch, "JSPSR", p.input_data)
+        inputs = shard_batch(mesh, [np.asarray(x) for x in inputs_np])
+        gt = shard_batch(mesh, np.asarray(gt_np))
+        inputs, gt = normalize(inputs, gt,
+                               shard_batch(mesh, np.asarray(base)))
+        host_batches.append((inputs, gt))
+
+    cache_batches = list(cache.epoch_batches(loader, epoch))
+    assert len(cache_batches) == len(host_batches) > 0, (
+        len(cache_batches), len(host_batches))
+    for (hi, hg), (ci, cg, bs) in zip(host_batches, cache_batches):
+        assert bs == 2, bs  # local loader batch size
+        for a, b in zip([*hi, hg], [*ci, cg]):
+            assert b.shape == a.shape, (b.shape, a.shape)
+            np.testing.assert_allclose(np.asarray(pull(b)),
+                                       np.asarray(pull(a)), atol=2e-6)
+    print(f"CACHE process {pid} ok batches={len(cache_batches)}")
+
 
 def main():
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), _NPROC
@@ -119,7 +206,12 @@ def main():
         )
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 4, jax.device_count()
-    (train_mode if mode == "train" else feed_mode)(pid)
+    if mode == "cache":
+        cache_mode(pid, sys.argv[5])
+    elif mode == "train":
+        train_mode(pid)
+    else:
+        feed_mode(pid)
 
 
 if __name__ == "__main__":
