@@ -275,10 +275,14 @@ def load_scene(path, p):
                           f"{'0-255' if rng_mode == '255' else '[0,1]'}-"
                           f"valued (max={float(arr.max()):.3g}); set "
                           f"infer_image_range to override")
-            arr = arr.astype(np.float32)
-            if str(rng_mode) == "unit":
-                arr = arr * 255.0
-        else:
+            if arr.dtype != np.uint8:
+                arr = arr.astype(np.float32)
+                if str(rng_mode) == "unit":
+                    arr = arr * 255.0
+            # uint8 stays uint8 — the dtype ToArray/the dataset path uses
+            # (dfc30 loads orthophotos via cv2 as u8) AND the zero-scan
+            # cue for the compact device upload (scene.transfer_encodings)
+        elif arr.dtype != np.uint8:
             arr = arr.astype(np.float32)
         assert arr.shape[:2] == sample["lr_dem"].shape[:2], (
             f"'{key}' raster {f} is {arr.shape[:2]} but the LR DEM is "

@@ -123,6 +123,15 @@ def transfer_encodings(sample: dict, keys: list) -> dict:
         c = arr.shape[-1]
         if k == "lr_dem":
             enc[k] = ("f32", c)
+        elif arr.dtype == np.uint8:
+            # dtype decides (load_scene preserves u8 rasters): at most ONE
+            # cheap max-scan for the binary-mask case — float-valued
+            # rasters below need several full passes, which at 1024^2 on
+            # the 1-core host is tens of ms per scene on the serving path
+            if c >= 8 and arr.size and int(arr.max()) <= 1:
+                enc[k] = ("bits", c)
+            else:
+                enc[k] = ("u8", c)
         elif c >= 8 and arr.size and ((arr == 0) | (arr == 1)).all():
             enc[k] = ("bits", c)
         elif (arr.size and float(arr.min()) >= 0 and float(arr.max()) <= 255
@@ -167,8 +176,10 @@ def prepare_scene(sample: dict, p, tile: int = 128,
     dem = np.asarray(sample["lr_dem"])
     hw = dem.shape[:2]
     tk = p.get("tensor_kwargs") or {}
-    base = float(dem.min()) if p.get("relative") else 0.0
+    # one min pass + one max pass — on the 1-core host every full-scene
+    # scan is milliseconds on the serving critical path
     lo, hi = float(dem.min()), float(dem.max())
+    base = lo if p.get("relative") else 0.0
     with np.errstate(invalid="ignore"):  # nodata -> NaN is the signal
         scaled = scale_data(np.array([lo, hi]), tk.get("min", -80),
                             tk.get("max", 929), tk.get("log", False),
@@ -367,8 +378,16 @@ def scene_dispatch_batch(model, params, bn_state, prepared_list, p,
     else:
         _RUNNER_CACHE.move_to_end(key)
     run = hit[2]
-    stacked = {k: np.stack([pr.arrays[k] for pr in prepared_list])
-               for k in first.keys}
+    # S=1 (the single-scene hot path): arr[None] is a zero-copy VIEW;
+    # np.stack would memcpy every modality (~9 MB at 1024^2 — tens of ms
+    # on the 1-core host, measured as the round-3 -> round-4 scene
+    # latency regression)
+    if S == 1:
+        stacked = {k: prepared_list[0].arrays[k][None]
+                   for k in first.keys}
+    else:
+        stacked = {k: np.stack([pr.arrays[k] for pr in prepared_list])
+                   for k in first.keys}
     base = np.asarray([pr.base for pr in prepared_list], np.float32)
     return run(params, bn_state, jax.device_put(stacked),
                jnp.asarray(base))

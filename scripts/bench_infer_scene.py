@@ -31,11 +31,11 @@ def make_scene(size: int, seed: int = 0) -> dict:
 
     rng = np.random.default_rng(seed)
     dem = _fractal_terrain(rng, size).astype(np.float32)[..., None]
-    # integer-valued like a real uint8 orthophoto (load_scene delivers
-    # 0-255 float); the device-tiled path ships it as uint8
-    img = rng.integers(0, 256, (size, size, 3)).astype(np.float32)
+    # uint8 rasters, exactly what load_scene delivers from disk (it
+    # preserves u8 dtypes so transfer_encodings never scans float arrays)
+    img = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
     cls = rng.integers(0, 15, (size, size))
-    mask = np.eye(15, dtype=np.float32)[cls]  # binary one-hot (dfc30.py)
+    mask = np.eye(15, dtype=np.uint8)[cls]  # binary one-hot (dfc30.py)
     return {"lr_dem": dem, "image": img, "mask": mask}
 
 

@@ -8,6 +8,11 @@ mixed scheme keeps the DEM path and deformable sampling in fp32, so the
 expectation is parity. This script is the evidence.
 
 Usage: python scripts/soak_bf16_compare.py [epochs] [--cpu] [--r3]
+       [--device-cache] [--seed N]
+
+--seed varies BOTH the synthetic terrain and the training seed, so a
+second-seed run is an independent replication of the gate (round-3
+VERDICT #5: the +8.8 % offline-mosaic gap was single-seed).
 
 --r3 runs the gate under the reference's r3 tiled protocol instead (334^2
 scenes -> 9 overlapping 128^2 TileCrops, mosaic-merged offline summary):
@@ -36,7 +41,7 @@ from jspsr_tpu.train.trainer import Trainer
 
 
 def make_config(root, train, valid, epochs, compute_dtype, r3=False,
-                device_cache=False):
+                device_cache=False, seed=0):
     return AttrDict({
         "name": f"bf16_gate_{compute_dtype or 'fp32'}", "dataset": "DFC30",
         "dataset_path": str(root), "resolution": 3 if r3 else 8,
@@ -67,31 +72,33 @@ def make_config(root, train, valid, epochs, compute_dtype, r3=False,
         },
         "best_metric": "RMSE", "val_border": 0.05,
         "early_stop": {"patience": None, "monitor": "val_rmse"},
-        "verbose": False, "seed": 0,
+        "verbose": False, "seed": seed,
         # --device-cache: soak the shipped fast feed (HBM-resident scene
         # cache; device_normalize is its prerequisite raw-feed math)
         "device_normalize": device_cache, "device_cache": device_cache,
     })
 
 
-def main(epochs: int = 40, r3: bool = False, device_cache: bool = False):
+def main(epochs: int = 40, r3: bool = False, device_cache: bool = False,
+         seed: int = 0):
     tmp = Path(tempfile.mkdtemp(prefix="jspsr_bf16_gate_"))
     if r3:
         # r3 tiled protocol: 334^2 scenes, 9 TileCrops each, mosaic summary
         root, train, valid = generate_mini_dfc30(
             tmp / "DFC30_3m",
             train_cities=("Brest", "Caen"), valid_cities=("Vannes",),
-            n_per_city=4, size=334, resolution=3)
+            n_per_city=4, size=334, resolution=3, seed=seed)
     else:
         root, train, valid = generate_mini_dfc30(
             tmp / "DFC30_8m",
             train_cities=("Brest", "Caen", "Calais_Dunkerque",
                           "Clermont-Ferrand"),
-            valid_cities=("Vannes",), n_per_city=12, size=128)
+            valid_cities=("Vannes",), n_per_city=12, size=128, seed=seed)
     results = {}
     for tag, cdt in (("fp32", None), ("bf16", "bfloat16")):
         trainer = Trainer(make_config(root, train, valid, epochs, cdt,
-                                      r3=r3, device_cache=device_cache),
+                                      r3=r3, device_cache=device_cache,
+                                      seed=seed),
                           result_dir=tmp / f"run_{tag}")
         out = trainer.fit(initial_eval=False)
         final = out["result"]
@@ -126,6 +133,13 @@ def main(epochs: int = 40, r3: bool = False, device_cache: bool = False):
 
 
 if __name__ == "__main__":
-    epochs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 40)
-    raise SystemExit(main(epochs, r3="--r3" in sys.argv,
-                          device_cache="--device-cache" in sys.argv))
+    argv = sys.argv[1:]
+    seed = 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    epochs = next((int(a) for a in argv if a.isdigit()), 40)
+    raise SystemExit(main(epochs, r3="--r3" in argv,
+                          device_cache="--device-cache" in argv,
+                          seed=seed))
