@@ -39,6 +39,12 @@ CASES = {
                          {"lr_dem": 1, "image": 3}),
 }
 
+# chained-forward scan length per family. 10 amortizes the ~2 ms tunnel
+# dispatch to noise; CompletionFormer's PVT+NLSPN graph x10 exceeds the
+# remote compiler (broken pipe at scan length 10), so it chains 2 — at
+# its ~40 ms forward the residual dispatch tax is ~2-3 %, noted in PERF.
+INNER = {"completionformer": 2}
+
 
 def model_inputs(name, input_data, batch, rng):
     """Returns (inputs, rebuild) — rebuild(pred_1ch) re-assembles the
@@ -62,14 +68,18 @@ def model_inputs(name, input_data, batch, rng):
 
 def chained_fwd_ms(model, params, bn_state, dem0, rebuild, iters=4, inner=10,
                    trials=3):
-    def chain(d):
+    # params/bn_state ride as jit ARGUMENTS: closed-over they embed as
+    # program constants and an 83M-param model blows the remote-compile
+    # request-size limit (HTTP 413 through the axon tunnel)
+    def chain(prm, bst, d):
         def body(dd, _):
-            pred, _ = model(params, bn_state, rebuild(dd), train=False)
+            pred, _ = model(prm, bst, rebuild(dd), train=False)
             return jnp.clip(pred, 0.05, 0.95), None
         out, _ = lax.scan(body, d, None, length=inner)
         return out
 
-    jfn = jax.jit(chain)
+    cfn = jax.jit(chain)
+    jfn = lambda d: cfn(params, bn_state, d)
     d = dem0
     for _ in range(2):
         d = jfn(d)
@@ -122,9 +132,12 @@ def main():
     from jspsr_tpu.models.factory import build_model
     from jspsr_tpu.utils.summary import count_parameters
 
+    only = [a for a in sys.argv[1:] if a in CASES]
     rng = np.random.default_rng(0)
     rows = []
     for name, (mk, input_data) in CASES.items():
+        if only and name not in only:
+            continue
         p = AttrDict({"model_name": name, "model_kwargs": mk,
                       "input_data": input_data})
         model = build_model(p)
@@ -137,7 +150,9 @@ def main():
         row = {"model": name,
                "params_m": round(count_parameters(params) / 1e6, 2)}
         try:
-            ms = chained_fwd_ms(model, params, bn_state, dem0, rebuild)
+            inner = INNER.get(name, 10)
+            ms = chained_fwd_ms(model, params, bn_state, dem0, rebuild,
+                                iters=4 if inner == 10 else 10, inner=inner)
             row["fwd_ms"] = round(ms, 2)
             row["fwd_tiles_per_sec"] = round(BATCH / ms * 1000, 1)
         except Exception as e:
