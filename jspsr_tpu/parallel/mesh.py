@@ -48,8 +48,30 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
 
 
 def replicate_state(mesh: Mesh, tree):
-    """Replicate train state across the mesh."""
-    return jax.device_put(tree, replicated(mesh))
+    """Replicate train state across the mesh.
+
+    Multi-process, device_put of a HOST value onto a sharding that spans
+    processes runs multihost_utils.assert_equal — one allgather collective
+    PER LEAF, each bounded by the gloo CPU backend's hardcoded 30 s
+    context-init deadline, which flakes on a loaded host (observed: 'Gloo
+    context initialization failed: GetKeyValue() timed out'). Every caller
+    passes values that are identical on all processes by construction
+    (PRNGKey-seeded init, checkpoint loads), so the check buys nothing:
+    put each leaf on the local devices and assemble the global replicated
+    array with make_array_from_single_device_arrays — no collectives.
+    """
+    sharding = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    pidx = jax.process_index()
+    local = [d for d in mesh.devices.flat if d.process_index == pidx]
+
+    def rep(x):
+        bufs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(
+            np.shape(x), sharding, bufs)
+
+    return jax.tree_util.tree_map(rep, tree)
 
 
 def make_2d_mesh(n_data: int, n_space: int, devices=None) -> Mesh:

@@ -25,11 +25,30 @@ os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={4 // _NPROC}"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
 
 import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def coordination_barrier(name: str, timeout_ms: int = 600_000):
+    """Rendezvous over the coordination service (NOT a device collective).
+
+    XLA's gloo CPU backend creates its communicator context lazily at the
+    first collective, with a hardcoded 30 s key-exchange deadline — on a
+    1-core host, compile-time skew between processes easily exceeds that
+    (observed: 'Gloo context initialization failed: GetKeyValue() timed
+    out'). Compiling ahead of time and meeting at this barrier bounds the
+    skew at the first collective to milliseconds."""
+    if _NPROC > 1:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
 
 
 def feed_mode(pid):
@@ -97,6 +116,10 @@ def train_mode(pid):
     gt = shard_batch(mesh, gt[lo:hi])
 
     train_step = make_train_step(model, criterion, optimizer, donate=False)
+    # AOT-compile, THEN meet at the barrier: the first gloo collective must
+    # start near-simultaneously on every process (see coordination_barrier)
+    train_step.lower(state, inputs, gt).compile()
+    coordination_barrier("train_step_compiled")
     trace = []
     for _ in range(2):
         state, losses = train_step(state, inputs, gt)
