@@ -87,37 +87,24 @@ class NLSPN(Module):
 
         if self.conf_prop and confidence is not None:
             # modulate each non-center tap's affinity by the confidence
-            # deformably sampled at that tap's offset (nlspn.py:104-156).
-            # The reference runs K-1 separate single-tap deform_conv2d
-            # gathers; here ALL taps are sampled by ONE deformable program:
-            # shift each tap's offset by (pad - tap) so the 3x3 kernel grid
-            # cancels (every tap samples at p + off_k, the reference's k=1
-            # pad=0 position), and contract with a tap-selector identity
-            # kernel so output channel k IS tap k's sample. Exact same
-            # bilinear positions, 1 dispatch instead of K-1.
-            w_conf = jax.lax.stop_gradient(
-                params["w_conf"]["value"])[0, 0, 0, 0]
+            # deformably sampled at that tap's offset (nlspn.py:104-156)
+            w_conf = jax.lax.stop_gradient(params["w_conf"]["value"])
             b0 = jax.lax.stop_gradient(params["b"]["value"])
             offset_pairs = jax.lax.stop_gradient(
                 offset.reshape(b, h, w, num + 1, 2)
             )
-            kk = self.k_f
-            pad = (kk - 1) // 2
-            # fp32: adding the integer tap shift in bf16 would quantize
-            # the sampling positions (deform_conv2d samples in fp32 anyway)
-            tap_y = jnp.repeat(jnp.arange(kk, dtype=jnp.float32), kk)
-            tap_x = jnp.tile(jnp.arange(kk, dtype=jnp.float32), kk)
-            adj = jnp.stack([pad - tap_y, pad - tap_x], axis=-1)  # (K, 2)
-            off_adj = (offset_pairs.astype(jnp.float32) + adj).reshape(
-                b, h, w, 2 * (num + 1))
-            selector = jnp.eye(num + 1, dtype=confidence.dtype).reshape(
-                kk, kk, 1, num + 1)
-            samples = deform_conv2d(confidence, off_adj, selector,
-                                    stride=1, padding=pad, dilation=1)
-            conf_all = samples * w_conf + b0
-            conf_aff = jnp.concatenate(
-                [conf_all[..., :self.idx_ref],
-                 conf_all[..., self.idx_ref + 1:]], axis=-1)
+            ones = jnp.ones((b, h, w, 1), offset.dtype)
+            confs = []
+            for idx in range(num + 1):
+                if idx == self.idx_ref:
+                    continue
+                off_tap = offset_pairs[:, :, :, idx, :]
+                conf_tmp = deform_conv2d(
+                    confidence, off_tap, w_conf, b0, ones,
+                    stride=1, padding=0, dilation=1,
+                )
+                confs.append(conf_tmp)
+            conf_aff = jnp.concatenate(confs, axis=-1)
             aff = aff * conf_aff
 
         aff_abs = jnp.abs(aff)
