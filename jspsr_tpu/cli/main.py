@@ -41,14 +41,47 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def _maybe_init_distributed(p) -> int:
+    """Multi-host bootstrap: every host of a pod slice runs this same CLI.
+
+    `distributed: true` in the YAML (or JSPSR_DISTRIBUTED=1) calls
+    jax.distributed.initialize() BEFORE the first backend use; with no
+    kwargs it auto-discovers coordinator + ranks on TPU pods (GCE
+    metadata), Slurm, and Open MPI, or reads JAX_COORDINATOR_ADDRESS.
+    Manual launches pass `distributed_kwargs: {coordinator_address,
+    num_processes, process_id}`. Everything downstream is already
+    process-aware: the DataLoader takes shard process_index::process_count
+    (train/trainer.py), shard_batch feeds global arrays from local shards
+    (parallel/mesh.py), replicate_state/set_learning_rate never issue
+    cross-process collectives, and only process 0 writes checkpoints
+    (train/checkpoint.py). Returns the process index (0 when not
+    distributed). Multi-host runs should pass --result-dir so every host
+    agrees on the run directory name (the default is timestamped).
+    """
+    import os
+
+    if not (p.get("distributed") or os.environ.get("JSPSR_DISTRIBUTED")):
+        return 0
+    import jax
+
+    jax.distributed.initialize(**(p.get("distributed_kwargs") or {}))
+    print(f"[distributed] process {jax.process_index()}/"
+          f"{jax.process_count()} up, {jax.device_count()} global devices",
+          file=sys.stderr)
+    return jax.process_index()
+
+
 def main(argv=None):
     args = parse_args(argv)
     p = create_config(args.config)
+    proc = _maybe_init_distributed(p)
     stamp = datetime.now().strftime("%m%d_%H%M")
     result_dir = Path(args.result_dir or
                       Path(p.get("work_root", ".")) / "results" / f"{stamp}_{p.name}")
     result_dir.mkdir(parents=True, exist_ok=True)
-    sys.stdout = Logger(result_dir / "train.log")
+    # one log file per process: hosts may share result_dir over NFS
+    log_name = "train.log" if proc == 0 else f"train.proc{proc}.log"
+    sys.stdout = Logger(result_dir / log_name)
 
     ckpt = p.model_kwargs.get("checkpoint")
     if args.infer:

@@ -47,8 +47,8 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     )
 
 
-def replicate_state(mesh: Mesh, tree):
-    """Replicate train state across the mesh.
+def device_put_replicated(x, sharding: NamedSharding):
+    """device_put onto a REPLICATED sharding without cross-process checks.
 
     Multi-process, device_put of a HOST value onto a sharding that spans
     processes runs multihost_utils.assert_equal — one allgather collective
@@ -56,22 +56,27 @@ def replicate_state(mesh: Mesh, tree):
     context-init deadline, which flakes on a loaded host (observed: 'Gloo
     context initialization failed: GetKeyValue() timed out'). Every caller
     passes values that are identical on all processes by construction
-    (PRNGKey-seeded init, checkpoint loads), so the check buys nothing:
-    put each leaf on the local devices and assemble the global replicated
-    array with make_array_from_single_device_arrays — no collectives.
+    (PRNGKey-seeded init, checkpoint loads, schedule-computed scalars), so
+    the check buys nothing: put the value on the local devices and assemble
+    the global replicated array with make_array_from_single_device_arrays —
+    no collectives. Only valid for replicated (P()) shardings, where every
+    device's shard is the full value.
     """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    bufs = [jax.device_put(x, d) for d in sharding.addressable_devices]
+    return jax.make_array_from_single_device_arrays(
+        np.shape(x), sharding, bufs)
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate train state across the mesh (see device_put_replicated
+    for why this never issues a cross-process collective)."""
     sharding = replicated(mesh)
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
-    pidx = jax.process_index()
-    local = [d for d in mesh.devices.flat if d.process_index == pidx]
-
-    def rep(x):
-        bufs = [jax.device_put(x, d) for d in local]
-        return jax.make_array_from_single_device_arrays(
-            np.shape(x), sharding, bufs)
-
-    return jax.tree_util.tree_map(rep, tree)
+    return jax.tree_util.tree_map(
+        lambda x: device_put_replicated(x, sharding), tree)
 
 
 def make_2d_mesh(n_data: int, n_space: int, devices=None) -> Mesh:

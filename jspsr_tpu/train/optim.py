@@ -125,8 +125,12 @@ def set_learning_rate(opt_state, lr: float, base_lr: float | None = None):
             # Keep the leaf's sharding: the jitted step returns mesh-sharded
             # state leaves, and swapping in an unsharded scalar here changes
             # the step's input avals -> a full recompile on the next call.
+            # device_put_replicated, NOT device_put: a plain device_put onto
+            # a sharding that spans processes runs an assert_equal allgather
+            # whose lazily-created gloo context flakes (parallel/mesh.py).
             if hasattr(old, "sharding"):
-                new = jax.device_put(new, old.sharding)
+                from jspsr_tpu.parallel.mesh import device_put_replicated
+                new = device_put_replicated(new, old.sharding)
             s.hyperparams["learning_rate"] = new
         if hasattr(s, "inner_states"):  # multi_transform
             for name, inner in s.inner_states.items():

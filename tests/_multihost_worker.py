@@ -30,10 +30,19 @@ os.environ.setdefault(
     str(Path(__file__).resolve().parent.parent / ".jax_cache"),
 )
 
+import time
+
 import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+_T0 = time.monotonic()
+
+
+def _t(msg):
+    """Timestamped progress line (diagnosis for gloo-deadline flakes)."""
+    print(f"[t+{time.monotonic() - _T0:7.1f}s] {msg}", flush=True)
 
 
 def coordination_barrier(name: str, timeout_ms: int = 600_000):
@@ -117,19 +126,32 @@ def train_mode(pid):
 
     train_step = make_train_step(model, criterion, optimizer, donate=False)
     # AOT-compile, THEN meet at the barrier: the first gloo collective must
-    # start near-simultaneously on every process (see coordination_barrier)
+    # start near-simultaneously on every process (see coordination_barrier).
+    # This is the ONLY cross-process gloo program in this mode — everything
+    # after it (checksum, checkpoint, barriers) reads local addressable data
+    # or uses the coordination service, because every extra lazily-created
+    # gloo context is another unaligned 30 s deadline to lose on a loaded
+    # 1-core host.
+    _t("lowering/compiling train step")
     train_step.lower(state, inputs, gt).compile()
+    _t("compiled; entering barrier")
     coordination_barrier("train_step_compiled")
+    _t("barrier passed; running step 1")
     trace = []
-    for _ in range(2):
+    for i in range(2):
         state, losses = train_step(state, inputs, gt)
         trace.append(float(losses["Total"]))
+        _t(f"step {i + 1} done")
 
-    # fully-replicated pull of the updated params -> one scalar checksum
-    leaves = jax.tree_util.tree_leaves(state.params)
+    # params checksum from this process's OWN local replica (no collective;
+    # stronger proof too — each process computes it independently and the
+    # parent compares the printed values, so no all-reduce can mask a
+    # replica divergence)
+    local_leaves = [np.asarray(x.addressable_data(0))
+                    for x in jax.tree_util.tree_leaves(state.params)]
     checksum = float(jax.jit(
-        lambda ls: sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in ls),
-        out_shardings=replicated(mesh))(leaves))
+        lambda ls: sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in ls)
+    )(local_leaves))
     print(f"TRAIN process {pid} trace={trace[0]:.9f},{trace[1]:.9f} "
           f"checksum={checksum:.6f}")
 
@@ -140,16 +162,17 @@ def train_mode(pid):
     # updated params.
     ckpt_path = sys.argv[5] if len(sys.argv) > 5 else None
     if ckpt_path:
-        from jax.experimental import multihost_utils
-
         from jspsr_tpu.train.checkpoint import (flatten_tree,
                                                 load_checkpoint,
                                                 save_checkpoint)
 
         save_checkpoint(ckpt_path, state.params, state.bn_state,
                         opt_state=state.opt_state, epoch=1)
-        if _NPROC > 1:
-            multihost_utils.sync_global_devices("ckpt_written")
+        # rendezvous over the coordination service, NOT
+        # multihost_utils.sync_global_devices: that one is an assert_equal
+        # psum whose gloo context is created lazily with the hardcoded 30 s
+        # deadline — it raced the checkpoint write + compile skew and flaked
+        coordination_barrier("ckpt_written")
         ck = load_checkpoint(ckpt_path)
         want = flatten_tree(jax.device_get(state.params))
         got = flatten_tree(ck["params"])
@@ -222,13 +245,22 @@ def main():
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), _NPROC
     mode = sys.argv[4] if len(sys.argv) > 4 else "feed"
     if nproc > 1:
+        _t("initializing jax.distributed")
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{port}",
             num_processes=nproc,
             process_id=pid,
         )
+        # align BEFORE backend creation: the CPU client's startup gloo
+        # contexts (topology exchange) carry the same hardcoded 30 s
+        # key-exchange deadline as every other gloo context, and process
+        # import/setup skew on a loaded 1-core host can exceed it
+        coordination_barrier("distributed_up")
+    _t("creating backend")
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 4, jax.device_count()
+    coordination_barrier("backend_up")
+    _t(f"backend up; mode={mode}")
     if mode == "cache":
         cache_mode(pid, sys.argv[5])
     elif mode == "train":

@@ -40,7 +40,7 @@ def test_two_process_feed_assembles_global_batch():
             raise
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-8000:]}"
         assert f"OK process {pid}" in out, out[-2000:]
 
 
@@ -75,7 +75,7 @@ def test_two_process_device_cache_matches_host_feed(tmp_path):
             raise
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-8000:]}"
         assert f"CACHE process {pid} ok" in out, out[-2000:]
 
 
@@ -112,22 +112,32 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         )
         for pid in range(2)
     ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    # run the single-process ground truth AFTER the distributed pair, not
+    # concurrently: a third JAX process compiling on a 1-core host starves
+    # the pair past gloo's hardcoded 30 s context-init deadline (flake
+    # observed in the round-3 full-suite run)
     ref = subprocess.Popen(
         [sys.executable, str(ROOT / "tests" / "_multihost_worker.py"),
          "0", "0", "1", "train", str(tmp_path / "ref_ck.npz")],
         cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
-    outs = []
-    for p in procs + [ref]:
-        try:
-            out, _ = p.communicate(timeout=660)
-        except subprocess.TimeoutExpired:
-            for q in procs + [ref]:
-                q.kill()
-            raise
-        outs.append(out)
+    try:
+        out, _ = ref.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+        ref.kill()
+        raise
+    outs.append(out)
     for p, out in zip(procs + [ref], outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        assert p.returncode == 0, f"worker failed:\n{out[-8000:]}"
     for pid, out in enumerate(outs):
         assert f"CKPT process {pid % 2 if pid < 2 else 0} ok" in out, \
             out[-2000:]
@@ -146,3 +156,72 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     # params checksum is an fp32 sum over every |leaf| after one divergent
     # update; measured 2.2e-6 rel across process counts -> 1e-5 bound
     np.testing.assert_allclose(r0[2], rref[2], rtol=1e-5)
+
+
+@pytest.mark.timeout(600)
+def test_cli_distributed_bootstrap(tmp_path):
+    """`distributed: true` + `distributed_kwargs` in the YAML initialize
+    jax.distributed BEFORE backend creation and run the normal Trainer
+    flow under a real (1-process) distributed runtime — the pod-slice CLI
+    entry (cli/main.py _maybe_init_distributed). Runs in a subprocess:
+    initialize() must precede any backend use, and pytest's own jax
+    session has already created one."""
+    import yaml
+
+    from jspsr_tpu.data.synthetic import generate_mini_dfc30
+
+    data_root = tmp_path / "datasets"
+    root, train, valid = generate_mini_dfc30(
+        data_root / "DFC30_8m", train_cities=("Brest",),
+        valid_cities=("Vannes",), n_per_city=2, size=64)
+    cfg = {
+        "name": "dist_smoke", "verbose": False, "dataset": "DFC30",
+        "data_root": str(data_root),
+        "train_set": train, "valid_set": valid,
+        "input_data": {"COP30": 1, "image": 3},
+        "resolution": 8, "workers": 1, "relative": True, "augment": False,
+        "patch_size": 32, "crop_mode": "random", "patches_per_image": 1,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 933},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1},
+        "optimizer": "Adam",
+        "optimizer_kwargs": {"weight_decay": 0.0, "momentum": 0.9,
+                             "lr": 1e-3},
+        "scheduler": "StepLR",
+        "scheduler_kwargs": {"step_size": 10, "gamma": 0.5},
+        "train_batch_size": 2, "epochs": 1, "resume": False,
+        "early_stop": {"patience": None, "monitor": "val_rmse"},
+        "valid_batch_size": 1, "val_interval": 1, "val_start_epoch": 1,
+        "metric": {"RMSE": {"package": "local"}},
+        "best_metric": "RMSE",
+        "distributed": True,
+        "distributed_kwargs": {
+            "coordinator_address": f"127.0.0.1:{_free_port()}",
+            "num_processes": 1, "process_id": 0},
+    }
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = "
+        "'--xla_force_host_platform_device_count=2'\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jspsr_tpu.cli.main import main\n"
+        f"out = main(['--config', {str(cfg_path)!r},\n"
+        f"            '--result-dir', {str(tmp_path / 'run')!r}])\n"
+        "import numpy as np\n"
+        "assert np.isfinite(out['result']['RMSE']), out\n"
+        "assert jax.process_count() == 1\n"
+        "print('DIST_CLI_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], cwd=ROOT,
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+    assert "DIST_CLI_OK" in proc.stdout, proc.stdout[-2000:]
+    assert "[distributed] process 0/1 up" in proc.stderr, proc.stderr[-2000:]
