@@ -38,6 +38,10 @@ def parse_args(argv=None):
                          "output DIRECTORY for a batch of scenes")
     ap.add_argument("--tile", action="store_true",
                     help="--infer via the tile-parallel feathered mosaic")
+    ap.add_argument("--export", default=None, metavar="PATH",
+                    help="serialize the eval forward (weights baked in) as "
+                         "a StableHLO deployment artifact (jax.export; "
+                         "needs model_kwargs.checkpoint)")
     return ap.parse_args(argv)
 
 
@@ -84,6 +88,33 @@ def main(argv=None):
     sys.stdout = Logger(result_dir / log_name)
 
     ckpt = p.model_kwargs.get("checkpoint")
+    if args.export:
+        # deployment artifact: jitted eval forward -> StableHLO, symbolic
+        # batch dim, CPU+TPU lowering (eval/export.py)
+        import numpy as np
+
+        from jspsr_tpu.data.loader import build_batch_inputs, input_kinds
+        from jspsr_tpu.eval.export import save_exported
+        from jspsr_tpu.models.factory import build_model
+        from jspsr_tpu.train.checkpoint import load_model_params
+
+        if not ckpt:
+            raise ValueError("--export requires model_kwargs.checkpoint")
+        model = build_model(p)
+        params, bn_state = load_model_params(model, ckpt,
+                                             seed=p.get("seed") or 0)
+        size = p.patch_size
+        batch = {k: np.zeros((1, size, size, int(p.input_data[k])),
+                             np.float32)
+                 for k in input_kinds(p.input_data)}
+        batch["hr_dem"] = np.zeros((1, size, size, 1), np.float32)
+        inputs, _, _, _ = build_batch_inputs(batch, p.model_name,
+                                             p.input_data)
+        out = save_exported(args.export, model, params, bn_state, inputs)
+        print(f"Exported inference artifact: {out} "
+              f"({out.stat().st_size / 1e6:.1f} MB)")
+        return out
+
     if args.infer:
         # scene inference needs no dataset — build only the model
         from jspsr_tpu.eval.inference import run_scene_inference

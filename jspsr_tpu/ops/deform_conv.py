@@ -25,6 +25,7 @@ Layouts are NHWC / HWIO (TPU-native), not torch's NCHW / OIHW.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 
 import jax
@@ -34,6 +35,29 @@ from jax import lax
 
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+_IMPL_OVERRIDE: str | None = None
+
+
+@contextmanager
+def force_deform_impl(impl: str):
+    """Force the implementation picked by ``impl='auto'`` for every
+    deform_conv2d traced inside the context.
+
+    Use case: jax.export artifacts (eval/export.py) must be
+    platform-neutral — ONE trace serves CPU and TPU — so the backend-
+    dependent auto choice (Pallas custom call on TPU, gather on CPU) is
+    pinned to the pure-XLA 'mxu' formulation. The substitution happens in
+    the Python wrapper BEFORE the jit boundary, so the compiled-fn cache is
+    keyed on the substituted value and never collides with 'auto' traces.
+    """
+    global _IMPL_OVERRIDE
+    prev, _IMPL_OVERRIDE = _IMPL_OVERRIDE, impl
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE = prev
 
 
 def deform_im2col(
@@ -211,11 +235,6 @@ def deform_im2col_mxu(
     return cols
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kernel_size", "stride", "padding", "dilation", "impl",
-                     "x_grad"),
-)
 def deform_conv2d(
     x: jax.Array,
     offset: jax.Array,
@@ -240,6 +259,33 @@ def deform_conv2d(
     Pallas backward then skips the input-scatter matmul; other impls ignore
     the flag (autodiff prunes the dead branch anyway).
     """
+    if impl == "auto" and _IMPL_OVERRIDE is not None:
+        impl = _IMPL_OVERRIDE
+    return _deform_conv2d(x, offset, weight, bias, mask,
+                          kernel_size=kernel_size, stride=stride,
+                          padding=padding, dilation=dilation, impl=impl,
+                          x_grad=x_grad)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_size", "stride", "padding", "dilation", "impl",
+                     "x_grad"),
+)
+def _deform_conv2d(
+    x: jax.Array,
+    offset: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    mask: jax.Array | None = None,
+    *,
+    kernel_size=None,
+    stride=1,
+    padding=1,
+    dilation=1,
+    impl: str = "auto",
+    x_grad: bool = True,
+) -> jax.Array:
     kh, kw, cin, cout = weight.shape
     if impl == "auto":
         impl = "mxu" if jax.default_backend() != "cpu" else "gather"
