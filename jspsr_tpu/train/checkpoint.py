@@ -44,7 +44,16 @@ def unflatten_tree(flat: dict):
 
 
 def save_checkpoint(path, params, bn_state, opt_state=None, epoch: int = 0,
-                    best_result=None, extra: dict | None = None):
+                    best_result=None, extra: dict | None = None,
+                    backend: str = "npz"):
+    if backend == "orbax":
+        # async multi-host directory checkpoint (train/orbax_ckpt.py);
+        # NOT proc-0 gated — orbax coordinates the writers itself
+        from jspsr_tpu.train.orbax_ckpt import save_checkpoint_orbax
+
+        return save_checkpoint_orbax(path, params, bn_state, opt_state,
+                                     epoch=epoch, best_result=best_result,
+                                     extra=extra)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if jax.process_index() != 0:
@@ -70,7 +79,17 @@ def save_checkpoint(path, params, bn_state, opt_state=None, epoch: int = 0,
 
 
 def load_checkpoint(path, opt_state_template=None):
-    """Returns dict(params, bn_state, opt_state|None, epoch, best_result)."""
+    """Returns dict(params, bn_state, opt_state|None, epoch, best_result).
+
+    Directories (and ``*.orbax`` paths whose async save may not have
+    committed the directory yet) are orbax checkpoints (train/orbax_ckpt.py),
+    files are the default .npz format — so every loader (Trainer.load,
+    load_model_params, the CLI flows) accepts either backend transparently."""
+    p = Path(path)
+    if p.is_dir() or p.suffix == ".orbax":
+        from jspsr_tpu.train.orbax_ckpt import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(path, opt_state_template)
     with np.load(path, allow_pickle=False) as z:
         arrays = {k: z[k] for k in z.files}
     meta = json.loads(bytes(arrays.pop("__meta__").tobytes()).decode())

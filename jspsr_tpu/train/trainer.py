@@ -248,7 +248,13 @@ class Trainer:
                   f"resume={resume})")
 
     def _ckpt_path(self):
-        return self.result_dir / f"_tmp_{self.p.model_name}.npz"
+        ext = ".orbax" if self._ckpt_backend() == "orbax" else ".npz"
+        return self.result_dir / f"_tmp_{self.p.model_name}{ext}"
+
+    def _ckpt_backend(self):
+        """'npz' (default, train/checkpoint.py) or 'orbax' (async
+        multi-host directory checkpoints, train/orbax_ckpt.py)."""
+        return self.p.get("checkpoint_backend") or "npz"
 
     # ------------------------------------------------------------------
     def train_one_epoch(self, epoch: int):
@@ -413,6 +419,7 @@ class Trainer:
                         self._ckpt_path(), self.state.params,
                         self.state.bn_state, self.state.opt_state,
                         epoch=epoch, best_result=self.best_result,
+                        backend=self._ckpt_backend(),
                     )
                 # early stop gated to late training (reference main.py:256)
                 if epoch > 200:
@@ -434,6 +441,12 @@ class Trainer:
         whole-split offline summary against every discovered public product
         (summarise=True)."""
         p = self.p
+        if self._ckpt_backend() == "orbax":
+            # the best-epoch save is async: it must be committed before the
+            # rename/reload below (and before the process exits)
+            from jspsr_tpu.train.orbax_ckpt import wait_for_checkpoint
+
+            wait_for_checkpoint()
         tmp = self._ckpt_path()
         final_path = tmp
         if tmp.exists() and self.best_result:
@@ -445,7 +458,7 @@ class Trainer:
             for k in ("RMSE", "PSNR"):
                 if k in self.best_result:
                     parts.append(f"{k}{self.best_result[k]:.4f}")
-            final_path = self.result_dir / ("_".join(parts) + ".npz")
+            final_path = self.result_dir / ("_".join(parts) + tmp.suffix)
             tmp.replace(final_path)
             self.load(final_path, resume=False)
         pred_dir = self.result_dir / "predictions"
