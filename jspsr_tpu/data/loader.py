@@ -45,9 +45,16 @@ class DataLoader:
         self.num_shards = num_shards
         self.collate = collate or dataset.collate
         self.epoch = 0
+        self.start_batch = 0
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """Pin the epoch for the shuffle stream; ``start_batch`` fast-forwards
+        the NEXT iteration to that batch index (mid-epoch preemption resume:
+        the skipped batches are never loaded — index arithmetic only — and
+        the remaining order is identical because both the shuffle and every
+        transform are pure functions of (seed, epoch, index))."""
         self.epoch = epoch
+        self.start_batch = int(start_batch)
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
@@ -66,9 +73,9 @@ class DataLoader:
         idx = self._epoch_indices()
         bs = self.batch_size
         n_full = len(idx) // bs
-        for i in range(n_full):
+        for i in range(self.start_batch, n_full):
             yield idx[i * bs:(i + 1) * bs]
-        if not self.drop_last and len(idx) % bs:
+        if not self.drop_last and len(idx) % bs and self.start_batch <= n_full:
             yield idx[n_full * bs:]
 
     def __len__(self):

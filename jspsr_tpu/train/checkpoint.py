@@ -125,7 +125,7 @@ def load_checkpoint(path, opt_state_template=None):
                 opt_state = jax.tree_util.tree_unflatten(treedef, typed)
     return {"params": params, "bn_state": bn, "opt_state": opt_state,
             "epoch": meta.get("epoch", 0),
-            "best_result": meta.get("best_result")}
+            "best_result": meta.get("best_result"), "meta": meta}
 
 
 def load_params_filtered(target_params, loaded_params):

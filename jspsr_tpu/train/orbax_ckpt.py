@@ -110,4 +110,4 @@ def load_checkpoint_orbax(path, opt_state_template=None):
                 jax.tree_util.tree_structure(opt_state_template), typed)
     return {"params": state["params"], "bn_state": state["bn"],
             "opt_state": opt_state, "epoch": meta.get("epoch", 0),
-            "best_result": meta.get("best_result")}
+            "best_result": meta.get("best_result"), "meta": meta}

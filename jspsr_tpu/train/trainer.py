@@ -211,12 +211,34 @@ class Trainer:
         self.early_stopper = EarlyStopper(es.get("patience"),
                                           es.get("monitor") or "val_loss")
 
+        # Preemption-safe mid-epoch resume (SURVEY §5.3: "periodic
+        # multi-host-safe checkpoint + resumable data-pipeline epoch/step
+        # counters" — the TPU-idiomatic replacement for the reference's
+        # crash-and-manual-resume, main.py:126-144). `save_every_steps: N`
+        # checkpoints the full train state every N steps; relaunching the
+        # SAME command in the same result_dir auto-resumes mid-epoch,
+        # bit-exactly: the shuffle stream and every transform are pure
+        # functions of (seed, epoch, index), the per-step model RNG folds
+        # the restored global step, and the partial epoch loss sums travel
+        # in the checkpoint. With `checkpoint_backend: orbax` the periodic
+        # save is async (the step loop never blocks on checkpoint IO).
+        self.save_every_steps = int(p.get("save_every_steps") or 0)
+        self._mid_resume = None
+        if self.save_every_steps and self._preempt_path().exists():
+            self._resume_preempt()
+
     # ------------------------------------------------------------------
     def load(self, path, resume: bool = False):
         """Load checkpoint; resume=True also restores opt state/epoch
         (reference utils/utils.py:373-407). Accepts this framework's .npz
         checkpoints AND reference PyTorch .pt/.pth files (imported through
         the torch-weight mapper; optimizer state is not portable)."""
+        if resume and self._mid_resume:
+            # a committed preemption checkpoint is strictly newer than any
+            # best-epoch checkpoint in the same run — keep the auto-resume
+            print(f"Skipping load({path}): preemption checkpoint resumes "
+                  f"epoch {self._mid_resume[0]} step {self._mid_resume[1]}")
+            return
         if str(path).endswith((".pt", ".pth")):
             from jspsr_tpu.utils.torch_import import (
                 import_torch_state_dict, load_torch_checkpoint,
@@ -256,15 +278,54 @@ class Trainer:
         multi-host directory checkpoints, train/orbax_ckpt.py)."""
         return self.p.get("checkpoint_backend") or "npz"
 
+    def _preempt_path(self):
+        ext = ".orbax" if self._ckpt_backend() == "orbax" else ".npz"
+        return self.result_dir / f"_preempt_{self.p.model_name}{ext}"
+
+    def _resume_preempt(self):
+        """Restore a periodic preemption checkpoint: full train state
+        (params/bn/opt + the global step the per-step RNG folds), the
+        mid-epoch cursor, and the partial epoch loss sums. start_epoch is
+        the INTERRUPTED epoch — train_one_epoch fast-forwards the loader
+        to step_in_epoch and finishes it."""
+        ck = load_checkpoint(self._preempt_path(), self.state.opt_state)
+        meta = ck["meta"]
+        params = load_params_filtered(self.state.params, ck["params"])
+        opt_state = ck["opt_state"] if ck["opt_state"] is not None \
+            else self.state.opt_state
+        self.state = replicate_state(self.mesh, TrainState(
+            params, ck["bn_state"] or self.state.bn_state, opt_state,
+            jnp.asarray(int(meta.get("global_step", 0)), jnp.int32)))
+        self.start_epoch = ck["epoch"]
+        self.best_result = ck["best_result"]
+        self._mid_resume = (ck["epoch"], int(meta["step_in_epoch"]),
+                            meta.get("loss_sums") or {},
+                            int(meta.get("n_samples", 0)))
+        if self.verbose:
+            print(f"Preemption resume: epoch {ck['epoch']} step "
+                  f"{meta['step_in_epoch']} from {self._preempt_path()}")
+
+    def _save_preempt(self, epoch: int, steps_done: int, loss_sums,
+                      n_samples: int):
+        # float() syncs the lazy device loss sums — once per cadence, and
+        # the state snapshot below syncs anyway
+        sums = {k: float(v) for k, v in (loss_sums or {}).items()}
+        save_checkpoint(
+            self._preempt_path(), self.state.params, self.state.bn_state,
+            self.state.opt_state, epoch=epoch, best_result=self.best_result,
+            extra={"step_in_epoch": steps_done, "n_samples": n_samples,
+                   "loss_sums": sums,
+                   "global_step": int(self.state.step)},
+            backend=self._ckpt_backend(),
+        )
+
     # ------------------------------------------------------------------
     def train_one_epoch(self, epoch: int):
         p = self.p
         lr = self.lr_schedule(epoch)
         set_learning_rate(self.state.opt_state, lr,
                           base_lr=p.optimizer_kwargs.lr)
-        self.train_loader.set_epoch(epoch)
         n_samples = 0
-        t0 = time.perf_counter()
         losses = None
         # Epoch loss = batch-size-weighted mean over EVERY step (reference
         # train_utils.py:216-240 averages each step into an AverageMeter).
@@ -272,6 +333,20 @@ class Trainer:
         # metrics.meters — so there is no per-step host sync; the single
         # transfer happens at the epoch-end float().
         loss_sums = None
+        start_batch = 0
+        if self._mid_resume and self._mid_resume[0] == epoch:
+            # finish the interrupted epoch from the checkpointed cursor;
+            # restored partial sums are exact (fp32 -> float -> fp32
+            # round-trips bit-identically)
+            _, start_batch, sums, n_samples = self._mid_resume
+            loss_sums = {k: jnp.float32(v) for k, v in sums.items()} or None
+            self._mid_resume = None
+            if self.verbose and start_batch:
+                print(f"E{epoch:03d} resuming at step {start_batch}")
+        self.train_loader.set_epoch(epoch, start_batch=start_batch)
+        steps_done = start_batch
+        n_run = 0  # samples stepped in THIS run (throughput denominator)
+        t0 = time.perf_counter()
 
         # Staging (build_batch_inputs -> shard_batch device_put -> device
         # normalize dispatch) runs in a background thread, two batches ahead
@@ -352,6 +427,11 @@ class Trainer:
                 loss_sums = {k: loss_sums[k] + v * bs
                              for k, v in step_losses.items()}
             n_samples += bs
+            n_run += bs
+            steps_done += 1
+            if self.save_every_steps and \
+                    steps_done % self.save_every_steps == 0:
+                self._save_preempt(epoch, steps_done, loss_sums, n_samples)
         if profiling:  # epoch shorter than profile_steps: close the trace
             jax.profiler.stop_trace()
         t_sync0 = time.perf_counter()
@@ -364,7 +444,7 @@ class Trainer:
                   file=sys.stderr, flush=True)
         epoch_loss = self.last_epoch_losses.get("Total", float("nan"))
         dt = time.perf_counter() - t0
-        self.last_throughput = n_samples / max(dt, 1e-9)  # tiles/sec
+        self.last_throughput = n_run / max(dt, 1e-9)  # tiles/sec
         if self.verbose:
             extra = ""
             if losses is not None and "grad_max" in losses:
@@ -393,6 +473,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, initial_eval: bool = True):
         p = self.p
+        if self._mid_resume:
+            initial_eval = False  # the preempted run already did it
         if initial_eval:
             result = self.evaluate(compare_input=True)
             if self.verbose:
@@ -447,6 +529,17 @@ class Trainer:
             from jspsr_tpu.train.orbax_ckpt import wait_for_checkpoint
 
             wait_for_checkpoint()
+        if self.save_every_steps and jax.process_index() == 0:
+            # the run completed: the periodic preemption checkpoint is
+            # obsolete (and would otherwise trigger a bogus auto-resume on
+            # the next run in this result_dir)
+            pp = self._preempt_path()
+            if pp.is_dir():
+                import shutil
+
+                shutil.rmtree(pp)
+            elif pp.exists():
+                pp.unlink()
         tmp = self._ckpt_path()
         final_path = tmp
         if tmp.exists() and self.best_result:
