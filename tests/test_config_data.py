@@ -248,3 +248,34 @@ def test_rgb2ycbcr_transform_class():
     y = rgb2ycbcr(img)
     back = ycbcr2rgb((y / 255.0).astype(np.float32))
     assert np.abs(back - img).max() < 4.0  # uint8 quantization in the conversion
+
+
+def test_loader_start_batch_fast_forward(mini_dfc30):
+    """set_epoch(e, start_batch=k) resumes the epoch's batch stream at
+    batch k with an identical remaining order (mid-epoch preemption resume,
+    trainer `save_every_steps`): skipped batches are pure index arithmetic,
+    and the cursor resets on the next plain set_epoch."""
+    root, train, valid = mini_dfc30
+    p = _cfg(root, train, valid)
+    _, eval_tf = build_transforms(p)
+    ds = DFC30(split="train", transform=eval_tf, **p)
+
+    def ids(dl):
+        return [[m["id"] for m in b["meta"]] for b in dl]
+
+    for drop_last, bs in ((True, 2), (False, 3)):  # bs=3 over 4: remainder
+        dl = DataLoader(ds, batch_size=bs, shuffle=True, drop_last=drop_last,
+                        num_workers=2, seed=0)
+        dl.set_epoch(0)
+        full = ids(dl)
+        dl.set_epoch(0, start_batch=1)
+        assert ids(dl) == full[1:], (drop_last, bs)
+        # fast-forward past every full batch: only the remainder (or
+        # nothing, under drop_last) is left
+        dl.set_epoch(0, start_batch=len(ds) // bs)
+        tail = ids(dl)
+        assert tail == ([] if drop_last or len(ds) % bs == 0
+                        else [full[-1]]), (drop_last, bs)
+        # the cursor does not leak into the next epoch
+        dl.set_epoch(1)
+        assert len(ids(dl)) == len(full)

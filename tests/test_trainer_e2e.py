@@ -273,3 +273,71 @@ def test_profile_steps_writes_trace(env, tmp_path):
     prof = tmp_path / "run" / "profile"
     traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.pb"))
     assert traces, f"no profiler artifacts under {prof}"
+
+
+class _Preempted(Exception):
+    """Simulated preemption (SIGKILL stand-in) raised right after a
+    periodic mid-epoch checkpoint commits."""
+
+
+def test_preemption_midepoch_resume_bitexact(env, tmp_path):
+    """`save_every_steps: N` + relaunch in the same result_dir resumes a
+    preempted run MID-EPOCH and reproduces the uninterrupted run bit-exactly
+    (SURVEY §5.3: multi-host-safe periodic checkpoint + resumable
+    data-pipeline epoch/step counters — the TPU-idiomatic replacement for
+    the reference's crash-and-manual-resume, reference main.py:126-144).
+
+    Exactness mechanism under test: the shuffle stream and every transform
+    are pure functions of (seed, epoch, index) so the loader fast-forward
+    skips batches by index arithmetic alone; the per-step model RNG folds
+    the restored global step; the partial epoch loss sums travel in the
+    checkpoint and fp32->json->fp32 round-trips bit-identically."""
+    import copy
+
+    import jax
+
+    p = copy.deepcopy(env)
+    p["name"] = "preempt_test"
+    p["save_every_steps"] = 1
+
+    # control: the same config run straight through (the periodic saves
+    # themselves must not perturb the math)
+    tA = Trainer(p, result_dir=tmp_path / "runA")
+    outA = tA.fit(initial_eval=False)
+    params_a = jax.device_get(tA.state.params)
+    losses_a = dict(tA.last_epoch_losses)
+
+    # interrupted run: crash immediately after the periodic save at
+    # epoch 1 step 1 — mid-epoch, with epoch 0's eval/best-ckpt already done
+    tB = Trainer(p, result_dir=tmp_path / "runB")
+    orig_save = tB._save_preempt
+
+    def crash_after_save(epoch, steps_done, loss_sums, n_samples):
+        orig_save(epoch, steps_done, loss_sums, n_samples)
+        if epoch == 1 and steps_done == 1:
+            raise _Preempted
+
+    tB._save_preempt = crash_after_save
+    with pytest.raises(_Preempted):
+        tB.fit(initial_eval=False)
+    assert tB._preempt_path().exists()
+
+    # relaunch the SAME command in the SAME result_dir: auto-resume from
+    # the preemption checkpoint (initial_eval is skipped — the preempted
+    # run already did it)
+    tC = Trainer(p, result_dir=tmp_path / "runB")
+    assert tC.start_epoch == 1 and tC._mid_resume[1] == 1
+    outC = tC.fit(initial_eval=True)
+
+    params_c = jax.device_get(tC.state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           params_a, params_c)
+    # restored partial loss sums make the resumed epoch's loss exact
+    for k, v in losses_a.items():
+        np.testing.assert_allclose(tC.last_epoch_losses[k], v, rtol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(outC["result"]["RMSE"],
+                               outA["result"]["RMSE"], rtol=1e-6)
+    # the completed run retires its preemption checkpoint (no bogus
+    # auto-resume on the next launch in this result_dir)
+    assert not tC._preempt_path().exists()
