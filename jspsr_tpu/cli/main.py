@@ -138,10 +138,23 @@ def main(argv=None):
             out_dir = Path(args.out or result_dir / "predictions")
             if (args.tile and device_tiling_supported(p)
                     and p.get("infer_device_tiling", True)):
-                # scene_batch 4: the measured sweet spot (PERF.md serving
-                # table; 8 edges it out in bf16, 12 over-batches)
-                sb = int(p.get("infer_scene_batch")
-                         or min(4, len(scenes)))
+                # size-aware batch default (PERF.md serving sweeps: sb8 at
+                # 334², sb2 at 1024² — over-batching large scenes measured
+                # 56 % slower); infer_scene_batch overrides
+                sb = int(p.get("infer_scene_batch") or 0)
+                if not sb:
+                    from jspsr_tpu.eval.serve import (auto_scene_batch,
+                                                      probe_scene_hw)
+
+                    try:
+                        sb = auto_scene_batch(
+                            probe_scene_hw(scenes[0]),
+                            tile=p.get("patch_size", 128),
+                            n_scenes=len(scenes))
+                    except Exception as e:
+                        print(f"[serve] scene probe failed ({e}); "
+                              f"scene_batch=4")
+                        sb = min(4, len(scenes))
                 paths, t_ms, sps = serve_scenes(
                     model, params, bn_state, p, scenes, out_dir,
                     tile=p.get("patch_size", 128), scene_batch=sb)

@@ -116,6 +116,26 @@ def read_raster(path, with_profile: bool = False):
                                 str(arr.dtype))
 
 
+def probe_shape(path):
+    """(h, w) of a raster WITHOUT reading pixel data where the backend
+    allows it (rasterio header, npy mmap, tifffile page); used for cheap
+    pre-flight decisions like the size-aware serving batch
+    (eval/serve.auto_scene_batch)."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(path, mmap_mode="r")
+        return int(arr.shape[0]), int(arr.shape[1])
+    if HAS_RASTERIO:
+        with rasterio.open(path) as ds:
+            return int(ds.height), int(ds.width)
+    if HAS_TIFFFILE:
+        with tifffile.TiffFile(str(path)) as tf:
+            shape = tf.pages[0].shape
+            return int(shape[0]), int(shape[1])
+    arr = read_raster(path)
+    return int(arr.shape[0]), int(arr.shape[1])
+
+
 def write_raster(path, arr: np.ndarray, profile: dict | None = None):
     """Write HWC array; .npy+sidecar always works, .tif needs rasterio."""
     path = Path(path)

@@ -42,6 +42,44 @@ def scene_ext(path) -> str:
     return ".npy" if (lr is not None and lr.suffix == ".npy") else ".tif"
 
 
+def probe_scene_hw(scene_path):
+    """(h, w) of a scene's LR-DEM raster from the header only (no pixel
+    read) — the pre-flight input to auto_scene_batch."""
+    from jspsr_tpu.data.raster_io import probe_shape
+    from jspsr_tpu.eval.inference import _SCENE_ALIASES, _find_modality
+
+    path = Path(scene_path)
+    lr = path if path.is_file() else _find_modality(path,
+                                                    _SCENE_ALIASES["lr_dem"])
+    if lr is None:
+        raise FileNotFoundError(f"no LR-DEM raster under {path}")
+    return probe_shape(lr)
+
+
+def auto_scene_batch(hw, tile: int = 128, n_scenes: int | None = None,
+                     cap_tiles: int = 176) -> int:
+    """Size-aware ``scene_batch`` default from the PERF.md serving sweeps:
+    334²-class scenes are upload/dispatch-bound, so batching aggressively
+    wins (sb8 measured best: 34 scenes/s bf16); 1024²-class scenes
+    over-batch past sb2 (sb4 is one 324-tile program + 4-scene upload,
+    measured 56 % slower than sb2). Both optima reduce to one rule — the
+    largest batch in {8,4,2,1} whose stacked program stays under
+    ``cap_tiles`` tiles (72 tiles at 334²/sb8, 162 at 1024²/sb2) — which
+    also interpolates monotonically for unmeasured sizes in between.
+    ``infer_scene_batch`` in the config overrides the selection."""
+    from jspsr_tpu.eval.scene import tile_grid
+
+    h, w = hw
+    n_tiles = (tile_grid(max(int(h), tile), tile)[1]
+               * tile_grid(max(int(w), tile), tile)[1])
+    sb = 8
+    while sb > 1 and sb * n_tiles > cap_tiles:
+        sb //= 2
+    if n_scenes:
+        sb = max(1, min(sb, int(n_scenes)))
+    return sb
+
+
 def _compat_key(prepared):
     """Scenes sharing this key can stack into one batched program."""
     return (tuple(prepared.keys), prepared.hw,

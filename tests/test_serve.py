@@ -225,3 +225,35 @@ def test_cli_batch_infer(tmp_path):
     for op in paths2:
         arr = read_raster(op)
         assert arr.shape == (96, 96, 1) and np.isfinite(arr).all()
+
+
+def test_auto_scene_batch_selection(tmp_path):
+    """Size-aware serving batch (VERDICT r4 #3): the selection reproduces
+    BOTH measured sweet spots from the PERF.md serving sweeps — sb8 at the
+    334^2 protocol size, sb2 at 1024^2 (where sb4 measured 56% slower) —
+    and interpolates monotonically in between."""
+    from jspsr_tpu.eval.serve import auto_scene_batch, probe_scene_hw
+
+    assert auto_scene_batch((334, 334)) == 8      # 9 tiles -> batch hard
+    assert auto_scene_batch((1024, 1024)) == 2    # 81 tiles -> sb2
+    assert auto_scene_batch((512, 512)) == 4      # 25 tiles -> in between
+    assert auto_scene_batch((2048, 2048)) == 1    # 289 tiles -> no batching
+    assert auto_scene_batch((128, 128)) == 8      # single-tile scenes
+    # monotone non-increasing in scene area
+    sizes = [128, 334, 512, 768, 1024, 1500, 2048]
+    sbs = [auto_scene_batch((s, s)) for s in sizes]
+    assert sbs == sorted(sbs, reverse=True), sbs
+    # capped by the number of scenes on offer
+    assert auto_scene_batch((334, 334), n_scenes=3) == 3
+    # rectangles use the full tile-grid product
+    assert auto_scene_batch((334, 1024)) == auto_scene_batch((1024, 334))
+
+    # probe_scene_hw reads the LR raster header of a scene dir (or a bare
+    # raster path) without loading pixels
+    d = tmp_path / "scene0"
+    d.mkdir()
+    write_raster(d / "lr_dem.npy", np.zeros((40, 56, 1), np.float32))
+    assert probe_scene_hw(d) == (40, 56)
+    assert probe_scene_hw(d / "lr_dem.npy") == (40, 56)
+    with pytest.raises(FileNotFoundError):
+        probe_scene_hw(tmp_path)
