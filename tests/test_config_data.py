@@ -279,3 +279,9 @@ def test_loader_start_batch_fast_forward(mini_dfc30):
         # the cursor does not leak into the next epoch
         dl.set_epoch(1)
         assert len(ids(dl)) == len(full)
+        # start_batch == n_full + 1: the remainder batch itself was the
+        # last checkpointed step, so the resumed stream must be EMPTY —
+        # the `start_batch <= n_full` guard in data/loader._batches
+        # prevents the remainder from being re-yielded
+        dl.set_epoch(0, start_batch=len(ds) // bs + 1)
+        assert ids(dl) == [], (drop_last, bs)

@@ -280,7 +280,19 @@ class _Preempted(Exception):
     periodic mid-epoch checkpoint commits."""
 
 
-def test_preemption_midepoch_resume_bitexact(env, tmp_path):
+@pytest.mark.parametrize("save_every,batch_size,crash_step,resume_step", [
+    # N=1, crash immediately after the save at epoch-1 step 1: nothing to
+    # replay — pure fast-forward resume
+    (1, 2, None, 1),
+    # N=2, crash AFTER epoch-1 step 3 completed (one step past the last
+    # periodic save at step 2): step 3's update is lost and the resume
+    # replays it from the step-2 checkpoint — the common crash-between-
+    # saves case, N-1 steps of replayed work (advisor r4)
+    (2, 1, 7, 2),
+])
+def test_preemption_midepoch_resume_bitexact(env, tmp_path, save_every,
+                                             batch_size, crash_step,
+                                             resume_step):
     """`save_every_steps: N` + relaunch in the same result_dir resumes a
     preempted run MID-EPOCH and reproduces the uninterrupted run bit-exactly
     (SURVEY §5.3: multi-host-safe periodic checkpoint + resumable
@@ -291,14 +303,18 @@ def test_preemption_midepoch_resume_bitexact(env, tmp_path):
     are pure functions of (seed, epoch, index) so the loader fast-forward
     skips batches by index arithmetic alone; the per-step model RNG folds
     the restored global step; the partial epoch loss sums travel in the
-    checkpoint and fp32->json->fp32 round-trips bit-identically."""
+    checkpoint and fp32->json->fp32 round-trips bit-identically. Every
+    comparison below is EXACT equality (no tolerance): params bit-equal,
+    epoch losses bit-equal (fp32 sums accumulate in the same order),
+    final-eval RMSE bit-equal (same params through the same program)."""
     import copy
 
     import jax
 
     p = copy.deepcopy(env)
     p["name"] = "preempt_test"
-    p["save_every_steps"] = 1
+    p["save_every_steps"] = save_every
+    p["train_batch_size"] = batch_size
 
     # control: the same config run straight through (the periodic saves
     # themselves must not perturb the math)
@@ -307,17 +323,33 @@ def test_preemption_midepoch_resume_bitexact(env, tmp_path):
     params_a = jax.device_get(tA.state.params)
     losses_a = dict(tA.last_epoch_losses)
 
-    # interrupted run: crash immediately after the periodic save at
-    # epoch 1 step 1 — mid-epoch, with epoch 0's eval/best-ckpt already done
+    # interrupted run — mid-epoch 1, with epoch 0's eval/best-ckpt done
     tB = Trainer(p, result_dir=tmp_path / "runB")
-    orig_save = tB._save_preempt
+    if crash_step is None:
+        # crash immediately after the periodic save at epoch 1 step 1
+        orig_save = tB._save_preempt
 
-    def crash_after_save(epoch, steps_done, loss_sums, n_samples):
-        orig_save(epoch, steps_done, loss_sums, n_samples)
-        if epoch == 1 and steps_done == 1:
-            raise _Preempted
+        def crash_after_save(epoch, steps_done, loss_sums, n_samples):
+            orig_save(epoch, steps_done, loss_sums, n_samples)
+            if epoch == 1 and steps_done == 1:
+                raise _Preempted
 
-    tB._save_preempt = crash_after_save
+        tB._save_preempt = crash_after_save
+    else:
+        # crash between saves: raise after global train_step call number
+        # `crash_step` computed its update but BEFORE the trainer applied
+        # it (epoch 0 runs 4 steps at bs=1, so call 7 = epoch 1 step 3)
+        orig_step = tB.train_step
+        calls = {"n": 0}
+
+        def crashing_step(state, inputs, gt):
+            out = orig_step(state, inputs, gt)
+            calls["n"] += 1
+            if calls["n"] == crash_step:
+                raise _Preempted
+            return out
+
+        tB.train_step = crashing_step
     with pytest.raises(_Preempted):
         tB.fit(initial_eval=False)
     assert tB._preempt_path().exists()
@@ -326,18 +358,18 @@ def test_preemption_midepoch_resume_bitexact(env, tmp_path):
     # the preemption checkpoint (initial_eval is skipped — the preempted
     # run already did it)
     tC = Trainer(p, result_dir=tmp_path / "runB")
-    assert tC.start_epoch == 1 and tC._mid_resume[1] == 1
+    assert tC.start_epoch == 1 and tC._mid_resume[1] == resume_step
     outC = tC.fit(initial_eval=True)
 
     params_c = jax.device_get(tC.state.params)
     jax.tree_util.tree_map(np.testing.assert_array_equal,
                            params_a, params_c)
-    # restored partial loss sums make the resumed epoch's loss exact
+    # restored partial loss sums + same-order fp32 accumulation make the
+    # resumed epoch's loss average bit-exact
     for k, v in losses_a.items():
-        np.testing.assert_allclose(tC.last_epoch_losses[k], v, rtol=1e-6,
-                                   err_msg=k)
-    np.testing.assert_allclose(outC["result"]["RMSE"],
-                               outA["result"]["RMSE"], rtol=1e-6)
+        assert tC.last_epoch_losses[k] == v, (k, tC.last_epoch_losses[k], v)
+    # bit-equal params through the same eval program -> bit-equal metrics
+    assert outC["result"]["RMSE"] == outA["result"]["RMSE"]
     # the completed run retires its preemption checkpoint (no bogus
     # auto-resume on the next launch in this result_dir)
     assert not tC._preempt_path().exists()
