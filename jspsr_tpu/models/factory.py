@@ -34,6 +34,7 @@ def build_model(p):
             fuse_stems=mk.get("fuse_stems", False),
             eval_grouped=mk.get("eval_grouped", False),
             compute_dtype=mk.get("compute_dtype", None),
+            spn_sample_dtype=mk.get("spn_sample_dtype", None),
         )
     if name == "edsr":
         from jspsr_tpu.models.edsr import EDSR

@@ -62,6 +62,7 @@ class JSPSR(Module):
         fuse_stems: bool = False,
         eval_grouped: bool = False,
         compute_dtype=None,
+        spn_sample_dtype: str | None = None,
     ):
         super().__init__()
         self.name = "JSPSR"
@@ -173,7 +174,14 @@ class JSPSR(Module):
         bc = nf if cat_only else nf // 2
         if spn:
             self.generator = Generator(c0_ch, 3, bc=bc, leaky=generator_leaky)
-            self.postprocessor = PostProcessor(3, residual=True, scale=spn_scale)
+            # spn_sample_dtype='bfloat16': opt-in bf16 image matmuls inside
+            # the deformable sampling kernel (the compute_dtype split keeps
+            # the sampling fp32 by default — see the note above; this option
+            # trades sampled-value precision for the 4x bf16 MXU rate,
+            # measured in PERF.md "bf16 deformable sampling")
+            self.postprocessor = PostProcessor(3, residual=True,
+                                               scale=spn_scale,
+                                               sample_dtype=spn_sample_dtype)
         else:
             self.generator = None
             self.postprocessor = Basic2d(c0_ch, out_channels, 3, 1, bn=False,

@@ -78,11 +78,15 @@ class PostProcessor(Module):
     """Deformable refinement of the raw DEM (reference spn.py:79-118)."""
 
     def __init__(self, kernel_size: int = 3, residual: bool = True,
-                 scale: float = 1.0):
+                 scale: float = 1.0, sample_dtype: str | None = None):
         super().__init__()
         self.kernel_size = kernel_size
         self.residual = residual
         self.scale = scale
+        # sample_dtype='bfloat16': run the deformable sampling's image
+        # matmuls in bf16 (Pallas kernel fast path; fp32 accumulation).
+        # The residual add below stays in the caller's dtype regardless.
+        self.sample_dtype = sample_dtype
 
     def init(self, rng):
         k = self.kernel_size
@@ -104,6 +108,7 @@ class PostProcessor(Module):
         refined = deform_conv2d(
             init_dem, offset, params["w"], params["b"], weight,
             stride=1, padding=pad, dilation=1, x_grad=False,
+            sample_dtype=self.sample_dtype,
         )
         if self.residual:
             refined = refined + self.scale * init_dem

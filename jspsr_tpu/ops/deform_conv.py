@@ -248,6 +248,7 @@ def deform_conv2d(
     dilation=1,
     impl: str = "auto",
     x_grad: bool = True,
+    sample_dtype: str | None = None,
 ) -> jax.Array:
     """Modulated deformable conv, NHWC.
 
@@ -258,19 +259,24 @@ def deform_conv2d(
     (e.g. the SPN head's detached DEM, reference JSPSR.py:372) — the fused
     Pallas backward then skips the input-scatter matmul; other impls ignore
     the flag (autodiff prunes the dead branch anyway).
+
+    sample_dtype='bfloat16' (Pallas impl only; others ignore it and stay
+    exact fp32) runs the kernel's image matmuls in bf16 with fp32
+    accumulation — the MXU-rate fast path behind the model-level
+    ``spn_sample_dtype`` option; accuracy tradeoff measured in PERF.md.
     """
     if impl == "auto" and _IMPL_OVERRIDE is not None:
         impl = _IMPL_OVERRIDE
     return _deform_conv2d(x, offset, weight, bias, mask,
                           kernel_size=kernel_size, stride=stride,
                           padding=padding, dilation=dilation, impl=impl,
-                          x_grad=x_grad)
+                          x_grad=x_grad, sample_dtype=sample_dtype)
 
 
 @partial(
     jax.jit,
     static_argnames=("kernel_size", "stride", "padding", "dilation", "impl",
-                     "x_grad"),
+                     "x_grad", "sample_dtype"),
 )
 def _deform_conv2d(
     x: jax.Array,
@@ -285,6 +291,7 @@ def _deform_conv2d(
     dilation=1,
     impl: str = "auto",
     x_grad: bool = True,
+    sample_dtype: str | None = None,
 ) -> jax.Array:
     kh, kw, cin, cout = weight.shape
     if impl == "auto":
@@ -313,7 +320,7 @@ def _deform_conv2d(
             jnp.zeros((1,), jnp.float32) if bias is None
             else bias.astype(jnp.float32),
             None if mask is None else mask.astype(jnp.float32),
-            ph, x_grad,
+            ph, x_grad, sample_dtype,
         )
         return out.astype(out_dtype)
     if impl == "mxu":

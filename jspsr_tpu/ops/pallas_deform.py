@@ -105,9 +105,18 @@ def _prep_layout(x, offset, mask, padding: int, bh: int | None):
     return x[..., 0].astype(_F32), pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p)
 
 
-def _fwd_kernel(h, w, k, p):
+def _fwd_kernel(h, w, k, p, sample_dtype=None):
+    # sample_dtype='bfloat16': the per-tap row matmul — the kernel's MXU
+    # bottleneck (fp32 matmuls run at 1/4 the bf16 MXU rate) — multiplies
+    # the image and the tent weights in bf16 with fp32 accumulation.
+    # Positions, tents, the column reduction and the K-tap accumulation
+    # stay fp32 (VPU ops, not the bottleneck). Opt-in via the model's
+    # spn_sample_dtype (accuracy tradeoff measured in PERF.md).
+    sdt = jnp.dtype(sample_dtype) if sample_dtype else None
+
     def kernel(x_ref, py_ref, px_ref, m_ref, w_ref, b_ref, out_ref):
         img = x_ref[0]  # (H, W) — loaded once per program
+        img_mm = img.astype(sdt) if sdt else img
         rows_i = lax.broadcasted_iota(jnp.int32, (h, p), 0).astype(_F32)
         cols_i = lax.broadcasted_iota(jnp.int32, (w, p), 0).astype(_F32)
         acc = jnp.full((1, p), b_ref[0, 0], _F32)
@@ -115,7 +124,8 @@ def _fwd_kernel(h, w, k, p):
             py = py_ref[0, 0, t:t + 1, :]  # (1, P)
             px = px_ref[0, 0, t:t + 1, :]
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(rows_i - py))  # tent (H, P)
-            tmp = lax.dot_general(img, wy, (((0,), (0,)), ((), ())),
+            tmp = lax.dot_general(img_mm, wy.astype(sdt) if sdt else wy,
+                                  (((0,), (0,)), ((), ())),
                                   preferred_element_type=_F32)  # (W, P)
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols_i - px))
             val = jnp.sum(tmp * wx, axis=0, keepdims=True)  # (1, P)
@@ -125,16 +135,17 @@ def _fwd_kernel(h, w, k, p):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("padding", "block_rows"))
+@partial(jax.jit, static_argnames=("padding", "block_rows", "sample_dtype"))
 def _pallas_forward(x, offset, weight, bias, mask, padding: int = 1,
-                    block_rows: int | None = None):
+                    block_rows: int | None = None,
+                    sample_dtype: str | None = None):
     x2, pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p) = _prep_layout(
         x, offset, mask, padding, block_rows)
     w_flat = weight.reshape(1, k).astype(_F32)
     b_s = (bias if bias is not None else jnp.zeros((1,))).reshape(1, 1).astype(_F32)
 
     out = pl.pallas_call(
-        _fwd_kernel(h, w, k, p),
+        _fwd_kernel(h, w, k, p, sample_dtype),
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda bi, i: (bi, 0, 0),
@@ -161,7 +172,21 @@ def _pallas_forward(x, offset, weight, bias, mask, padding: int = 1,
     return out.reshape(b, h, w, 1).astype(x.dtype)
 
 
-def _bwd_kernel(h, w, k, p, need_dx: bool):
+def _bwd_kernel(h, w, k, p, need_dx: bool, sample_dtype=None):
+    # sample_dtype: same bf16-matmul option as _fwd_kernel — applied to
+    # the two image matmuls (value + row-derivative) that dominate the
+    # backward's MXU time; one-hot derivative matrices are exact in bf16.
+    # The d_x scatter matmul (need_dx) stays fp32: gradients re-enter
+    # training state there (x_grad=False in the shipped SPN/LRRU paths,
+    # so it is skipped anyway).
+    sdt = jnp.dtype(sample_dtype) if sample_dtype else None
+
+    def _mm(a, bmat):
+        if sdt is not None:
+            a, bmat = a.astype(sdt), bmat.astype(sdt)
+        return lax.dot_general(a, bmat, (((0,), (0,)), ((), ())),
+                               preferred_element_type=_F32)
+
     def kernel(x_ref, py_ref, px_ref, m_ref, w_ref, g_ref,
                dpy_ref, dpx_ref, dm_ref, dw_ref, *maybe_dx):
         i = pl.program_id(1)
@@ -185,8 +210,7 @@ def _bwd_kernel(h, w, k, p, need_dx: bool):
             wy = oy0 * (1.0 - (py - y0)) + oy1 * (py - y0)  # (H, P)
             wx = ox0 * (1.0 - (px - x0)) + ox1 * (px - x0)  # (W, P)
 
-            tmp = lax.dot_general(img, wy, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=_F32)  # (W, P)
+            tmp = _mm(img, wy)  # (W, P)
             val = jnp.sum(tmp * wx, axis=0, keepdims=True)  # (1, P)
             gwm = g * (wt * m)  # cotangent reaching the sample value
             # d_mask = g * w_t * val
@@ -197,8 +221,7 @@ def _bwd_kernel(h, w, k, p, need_dx: bool):
             dpx_ref[0, 0, t:t + 1, :] = gwm * jnp.sum(
                 tmp * (ox1 - ox0), axis=0, keepdims=True)
             # d_py: one extra matmul with the derivative one-hots
-            tdy = lax.dot_general(img, oy1 - oy0, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=_F32)
+            tdy = _mm(img, oy1 - oy0)
             dpy_ref[0, 0, t:t + 1, :] = gwm * jnp.sum(
                 tdy * wx, axis=0, keepdims=True)
             if need_dx:
@@ -221,9 +244,11 @@ def _bwd_kernel(h, w, k, p, need_dx: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("padding", "x_grad", "block_rows"))
+@partial(jax.jit, static_argnames=("padding", "x_grad", "block_rows",
+                                   "sample_dtype"))
 def _pallas_backward(x, offset, weight, bias, mask, g, padding: int = 1,
-                     x_grad: bool = True, block_rows: int | None = None):
+                     x_grad: bool = True, block_rows: int | None = None,
+                     sample_dtype: str | None = None):
     x2, pos_y, pos_x, mask_t, (b, h, w, k, bh, nb, p) = _prep_layout(
         x, offset, mask, padding, block_rows)
     w_flat = weight.reshape(1, k).astype(_F32)
@@ -252,7 +277,7 @@ def _pallas_backward(x, offset, weight, bias, mask, g, padding: int = 1,
                                       memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        _bwd_kernel(h, w, k, p, x_grad),
+        _bwd_kernel(h, w, k, p, x_grad, sample_dtype),
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda bi, i: (bi, 0, 0),
@@ -290,29 +315,35 @@ def _pallas_backward(x, offset, weight, bias, mask, g, padding: int = 1,
     return d_x, d_offset, d_mask, d_weight, d_bias
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def deform_conv2d_pallas(x, offset, weight, bias, mask, padding: int = 1,
-                         x_grad: bool = True):
+                         x_grad: bool = True,
+                         sample_dtype: str | None = None):
     """Fused modulated deformable conv (1-channel, 3x3, stride 1).
 
     Semantics == ops.deform_conv.deform_conv2d(..., stride=1, dilation=1).
     x_grad=False (static) skips the input-gradient scatter in the backward
     kernel — correct wherever the DEM input is detached (JSPSR spn head,
     LRRU refinement rounds); the returned d_x is zeros.
+    sample_dtype='bfloat16' runs the kernels' image matmuls in bf16 with
+    fp32 accumulation (see _fwd_kernel) — opt-in, accuracy tradeoff
+    measured in PERF.md.
     """
-    return _pallas_forward(x, offset, weight, bias, mask, padding=padding)
+    return _pallas_forward(x, offset, weight, bias, mask, padding=padding,
+                           sample_dtype=sample_dtype)
 
 
-def _vjp_fwd(x, offset, weight, bias, mask, padding, x_grad):
-    y = _pallas_forward(x, offset, weight, bias, mask, padding=padding)
+def _vjp_fwd(x, offset, weight, bias, mask, padding, x_grad, sample_dtype):
+    y = _pallas_forward(x, offset, weight, bias, mask, padding=padding,
+                        sample_dtype=sample_dtype)
     return y, (x, offset, weight, bias, mask)
 
 
-def _vjp_bwd(padding, x_grad, res, g):
+def _vjp_bwd(padding, x_grad, sample_dtype, res, g):
     x, offset, weight, bias, mask = res
     d_x, d_offset, d_mask, d_weight, d_bias = _pallas_backward(
         x, offset, weight, bias, mask, g[..., 0],
-        padding=padding, x_grad=x_grad)
+        padding=padding, x_grad=x_grad, sample_dtype=sample_dtype)
     return (d_x.astype(x.dtype),
             d_offset.astype(offset.dtype),
             d_weight.astype(weight.dtype),

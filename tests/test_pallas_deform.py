@@ -155,3 +155,44 @@ def test_pallas_shrunken_block_matches_reference():
                               block_rows=bh)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4, err_msg=f"bh={bh}")
+
+
+def test_pallas_sample_dtype_bf16_close_and_grads_flow():
+    """sample_dtype='bfloat16' (the opt-in MXU fast path behind
+    spn_sample_dtype) runs the kernel's image matmuls in bf16 with fp32
+    accumulation: outputs must track the exact fp32 kernel to bf16
+    quantization tolerance, and the custom VJP must keep producing
+    finite, close gradients for offsets/mask/weight/bias."""
+    x, off, mask, wgt, bias = _case(2, 16, 16, 1.5, 7)
+    exact = deform_conv2d_pallas(x, off, wgt, bias, mask, 1)
+    fast = deform_conv2d_pallas(x, off, wgt, bias, mask, 1, True,
+                                "bfloat16")
+    # bf16 mantissa is 8 bits: elementwise error ~2^-8 * |operands|
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=0.05, atol=0.05)
+    assert np.abs(np.asarray(fast) - np.asarray(exact)).max() > 0 \
+        or float(jnp.sum(jnp.abs(exact))) == 0  # genuinely quantized path
+
+    def loss(off, mask, wgt, bias, sdt):
+        return jnp.sum(deform_conv2d_pallas(x, off, wgt, bias, mask, 1,
+                                            False, sdt) ** 2)
+
+    g_fast = jax.grad(loss, argnums=(0, 1, 2, 3))(off, mask, wgt, bias,
+                                                  "bfloat16")
+    g_exact = jax.grad(loss, argnums=(0, 1, 2, 3))(off, mask, wgt, bias,
+                                                   None)
+    for a, b in zip(g_fast, g_exact):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.2, atol=0.3)
+
+    # the model-level plumbing: spn_sample_dtype reaches the kernel
+    from jspsr_tpu.config.loader import AttrDict
+    from jspsr_tpu.models.factory import build_model
+
+    p = AttrDict({"model_name": "JSPSR",
+                  "input_data": {"lr_dem": 1, "image": 3},
+                  "model_kwargs": {"num_block": 1, "num_feature": 8,
+                                   "spn_sample_dtype": "bfloat16"}})
+    m = build_model(p)
+    assert m.postprocessor.sample_dtype == "bfloat16"
