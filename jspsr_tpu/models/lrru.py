@@ -201,10 +201,27 @@ class BasicDepthEncoder(Module):
         feat, s = self.ref(params["ref"], state["ref"], feat, train=train)
         if s:
             ns["ref"] = s
-        weight, _ = self.conv_weight(params["conv_weight"], {}, feat)
-        weight = jax.nn.sigmoid(weight)
-        offset, _ = self.conv_offset(params["conv_offset"], {}, feat)
-        offset = insert_zero_center_offset(offset, self.kernel_size)
+        # Both 1x1 heads in ONE conv (exact: concatenated output channels
+        # are independent rows of the same matmul) — the full-res bc*4
+        # feature map is read once instead of twice, and LRRU pays this
+        # read in EVERY of its 4 refinement rounds (the JSPSR generator's
+        # measured head-merge, models/spn.py:56-71, applied here).
+        # Param tree keeps the reference's separate conv_weight/conv_offset
+        # modules (reference LRRU.py:231-238); the merge is trace-time.
+        k2 = self.kernel_size ** 2
+        w_cat = jnp.concatenate(
+            [params["conv_weight"]["w"], params["conv_offset"]["w"]],
+            axis=-1).astype(feat.dtype)
+        b_cat = jnp.concatenate(
+            [params["conv_weight"]["b"], params["conv_offset"]["b"]]
+        ).astype(feat.dtype)
+        heads = jax.lax.conv_general_dilated(
+            feat, w_cat, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_cat
+        weight = jax.nn.sigmoid(heads[..., :k2])
+        offset = insert_zero_center_offset(heads[..., k2:],
+                                           self.kernel_size)
         return (weight, offset), ns
 
 
