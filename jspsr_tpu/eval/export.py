@@ -25,6 +25,7 @@ trace must not branch on jax.default_backend().
 
 from __future__ import annotations
 
+import contextlib
 from pathlib import Path
 
 import jax
@@ -37,13 +38,23 @@ ARTIFACT_SUFFIX = ".stablehlo"
 
 
 def export_inference(model, params, bn_state, example_inputs,
-                     platforms=("cpu", "tpu"), batch_symbol="b") -> bytes:
+                     platforms=("cpu", "tpu"), batch_symbol="b",
+                     deform_impl: str | None = "mxu") -> bytes:
     """Serialize ``model``'s eval forward into a StableHLO artifact.
 
     example_inputs: list of per-modality arrays (or ShapeDtypeStructs) with
     the deployment spatial shape — only shapes/dtypes are read; the leading
     (batch) dim is replaced by the symbolic dimension ``batch_symbol``.
     Returns the serialized bytes (write with save_exported).
+
+    ``deform_impl``: implementation pinned for the deformable-conv trace.
+    The default 'mxu' keeps the artifact platform-neutral (see module
+    docstring). ``None`` leaves the backend-dependent auto choice — the
+    TPU-ONLY fast variant that keeps the Pallas kernel as a
+    ``tpu_custom_call`` (requires ``platforms=("tpu",)``; the custom-call
+    stability check is waived, so the artifact is pinned to the libtpu
+    generation it was exported under — measured tradeoff in PERF.md
+    "Exported artifact vs in-process").
     """
     (b,) = _jexport.symbolic_shape(batch_symbol)
     specs = [jax.ShapeDtypeStruct((b,) + tuple(x.shape[1:]), x.dtype)
@@ -53,9 +64,19 @@ def export_inference(model, params, bn_state, example_inputs,
         pred, _ = model(params, bn_state, list(inputs), train=False)
         return pred
 
-    with force_deform_impl("mxu"):
+    kwargs = {}
+    if deform_impl is None:
+        assert tuple(platforms) == ("tpu",), (
+            "deform_impl=None (Pallas custom call) serializes a TPU-only "
+            "artifact; pass platforms=('tpu',)")
+        ctx = contextlib.nullcontext()
+        kwargs["disabled_checks"] = [
+            _jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    else:
+        ctx = force_deform_impl(deform_impl)
+    with ctx:
         exported = _jexport.export(
-            jax.jit(fwd), platforms=list(platforms))(*specs)
+            jax.jit(fwd), platforms=list(platforms), **kwargs)(*specs)
     return bytes(exported.serialize())
 
 

@@ -1,0 +1,135 @@
+"""TPU probe: exported StableHLO artifact vs the in-process forward
+(VERDICT r4 #4 — the export path pins the deformable conv to the XLA
+'mxu' impl for platform-neutral serialization, forfeiting the Pallas
+kernel on TPU, and its cost was never measured).
+
+Three arms, all the same math (flagship 3-branch JSPSR, b16 128² tiles,
+chained-scan protocol from bench.py so the tunnel dispatch amortizes):
+
+  inproc_auto : in-process forward, deform impl auto (Pallas on TPU)
+  inproc_mxu  : in-process forward pinned to the 'mxu' impl — isolates
+                the deform-impl share of any artifact gap
+  artifact    : jax.export artifact (CPU+TPU lowering) deserialized and
+                called under jit — the deployment path as shipped
+  artifact_tpu: TPU-only artifact that KEEPS the Pallas custom call
+                (export_inference(platforms=("tpu",), deform_impl=None))
+
+Usage: python scripts/bench_export.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BATCH = 16
+
+
+def chained_tps(fn, dem, img, msk, inner=10, iters=4, trials=3):
+    """bench.py protocol: `inner` forwards inside one jitted lax.scan,
+    chained through the DEM input; returns per-trial tiles/s."""
+
+    def chain(d):
+        def body(dd, _):
+            pred = fn(dd, img, msk)
+            return jnp.clip(pred, 0.05, 0.95), None
+
+        out, _ = lax.scan(body, d, None, length=inner)
+        return out
+
+    jfn = jax.jit(chain)
+    d = dem
+    for _ in range(2):
+        d = jfn(d)
+    float(d[0, 0, 0, 0])
+    out = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d = jfn(d)
+        float(d[0, 0, 0, 0])
+        out.append(BATCH * iters * inner / (time.perf_counter() - t0))
+    return out
+
+
+def main():
+    import numpy as np
+
+    import __graft_entry__ as g
+    from jspsr_tpu.eval.export import export_inference, load_exported
+    from jspsr_tpu.ops.deform_conv import force_deform_impl
+
+    trials = 2 if "--quick" in sys.argv else 3
+    model, params, bn_state = g._flagship()
+    dem, img, msk = g._example_inputs(BATCH, 128, 128)
+    results = {}
+
+    def fwd(d, i, m):
+        pred, _ = model(params, bn_state, [d, i, m], train=False)
+        return pred
+
+    def fwd_mxu(d, i, m):
+        with force_deform_impl("mxu"):
+            return fwd(d, i, m)
+
+    results["inproc_auto"] = chained_tps(fwd, dem, img, msk, trials=trials)
+    print(f"# inproc_auto: {max(results['inproc_auto']):.1f} t/s "
+          f"{[round(t, 1) for t in results['inproc_auto']]}", flush=True)
+
+    results["inproc_mxu"] = chained_tps(fwd_mxu, dem, img, msk,
+                                        trials=trials)
+    print(f"# inproc_mxu: {max(results['inproc_mxu']):.1f} t/s "
+          f"{[round(t, 1) for t in results['inproc_mxu']]}", flush=True)
+
+    # the shipped CPU+TPU artifact (mxu-pinned trace)
+    blob = export_inference(model, params, bn_state, [dem, img, msk])
+    path = Path("/tmp/bench_export_probe.stablehlo")
+    path.write_bytes(blob)
+    efn = load_exported(path)
+    results["artifact"] = chained_tps(efn, dem, img, msk, trials=trials)
+    print(f"# artifact (cpu+tpu, mxu): {max(results['artifact']):.1f} t/s "
+          f"{[round(t, 1) for t in results['artifact']]}", flush=True)
+
+    # equality of the deployment artifact vs the in-process forward
+    np.testing.assert_allclose(np.asarray(efn(dem, img, msk)),
+                               np.asarray(fwd_mxu(dem, img, msk)),
+                               rtol=2e-5, atol=2e-5)
+
+    # TPU-only artifact keeping the Pallas custom call
+    try:
+        blob_tpu = export_inference(model, params, bn_state,
+                                    [dem, img, msk], platforms=("tpu",),
+                                    deform_impl=None)
+        path_tpu = Path("/tmp/bench_export_probe_tpu.stablehlo")
+        path_tpu.write_bytes(blob_tpu)
+        efn_tpu = load_exported(path_tpu)
+        results["artifact_tpu"] = chained_tps(efn_tpu, dem, img, msk,
+                                              trials=trials)
+        print(f"# artifact_tpu (pallas): "
+              f"{max(results['artifact_tpu']):.1f} t/s "
+              f"{[round(t, 1) for t in results['artifact_tpu']]}",
+              flush=True)
+        np.testing.assert_allclose(np.asarray(efn_tpu(dem, img, msk)),
+                                   np.asarray(fwd(dem, img, msk)),
+                                   rtol=2e-5, atol=2e-5)
+    except Exception as e:
+        results["artifact_tpu_error"] = str(e)[:300]
+        print(f"# artifact_tpu failed: {e}", flush=True)
+
+    out = {k: ([round(t, 1) for t in v] if isinstance(v, list) else v)
+           for k, v in results.items()}
+    print(json.dumps(out))
+    Path("/tmp/bench_export.json").write_text(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
