@@ -98,8 +98,13 @@ def main():
             try:
                 fwd = chained_fwd_ms(model, params, bn_state, dem0, rebuild,
                                      trials=2)
-                trn = train_step_ms("lrru", model, params, bn_state, inputs,
-                                    gt, trials=2)
+                # the train step donates its state: hand it COPIES so the
+                # shared params survive for the next arm
+                trn = train_step_ms(
+                    "lrru", model,
+                    jax.tree_util.tree_map(jnp.array, params),
+                    jax.tree_util.tree_map(jnp.array, bn_state),
+                    inputs, gt, trials=2)
             finally:
                 if ctx:
                     ctx.__exit__(None, None, None)

@@ -41,9 +41,11 @@ from jspsr_tpu.train.trainer import Trainer
 
 
 def make_config(root, train, valid, epochs, compute_dtype, r3=False,
-                device_cache=False, seed=0):
+                device_cache=False, seed=0, sample_dtype=None):
     return AttrDict({
-        "name": f"bf16_gate_{compute_dtype or 'fp32'}", "dataset": "DFC30",
+        "name": f"bf16_gate_{compute_dtype or 'fp32'}"
+                + ("_sdt" if sample_dtype else ""),
+        "dataset": "DFC30",
         "dataset_path": str(root), "resolution": 3 if r3 else 8,
         "train_set": train, "valid_set": valid,
         "input_data": {"lr_dem": 1, "COP30": 1, "image": 3, "mask": 15},
@@ -55,7 +57,8 @@ def make_config(root, train, valid, epochs, compute_dtype, r3=False,
         "model_name": "JSPSR",
         "model_kwargs": {"num_block": 2, "num_feature": 32, "spn": True,
                          "pretrained": False, "checkpoint": None,
-                         "compute_dtype": compute_dtype},
+                         "compute_dtype": compute_dtype,
+                         "spn_sample_dtype": sample_dtype},
         "loss": {"L1": 1, "L2": 1, "Grad": 0.1},
         "optimizer": "AdamW",
         "optimizer_kwargs": {"lr": 1e-3, "weight_decay": 1e-6,
@@ -80,7 +83,7 @@ def make_config(root, train, valid, epochs, compute_dtype, r3=False,
 
 
 def main(epochs: int = 40, r3: bool = False, device_cache: bool = False,
-         seed: int = 0):
+         seed: int = 0, sample_dtype: bool = False):
     tmp = Path(tempfile.mkdtemp(prefix="jspsr_bf16_gate_"))
     if r3:
         # r3 tiled protocol: 334^2 scenes, 9 TileCrops each, mosaic summary
@@ -95,10 +98,16 @@ def main(epochs: int = 40, r3: bool = False, device_cache: bool = False,
                           "Clermont-Ferrand"),
             valid_cities=("Vannes",), n_per_city=12, size=128, seed=seed)
     results = {}
-    for tag, cdt in (("fp32", None), ("bf16", "bfloat16")):
+    arms = [("fp32", None, None), ("bf16", "bfloat16", None)]
+    if sample_dtype:
+        # --sample-dtype: third arm gates spn_sample_dtype=bfloat16 (bf16
+        # image matmuls inside the deformable sampling kernel) against the
+        # same fp32 ground truth as the body gate
+        arms.append(("bf16_sdt", "bfloat16", "bfloat16"))
+    for tag, cdt, sdt in arms:
         trainer = Trainer(make_config(root, train, valid, epochs, cdt,
                                       r3=r3, device_cache=device_cache,
-                                      seed=seed),
+                                      seed=seed, sample_dtype=sdt),
                           result_dir=tmp / f"run_{tag}")
         out = trainer.fit(initial_eval=False)
         final = out["result"]
@@ -117,6 +126,12 @@ def main(epochs: int = 40, r3: bool = False, device_cache: bool = False,
     rel = delta / results["fp32"]["RMSE"]
     checks = [rel < 0.05]
     extra = {}
+    if "bf16_sdt" in results:
+        delta_s = results["bf16_sdt"]["RMSE"] - results["fp32"]["RMSE"]
+        rel_s = delta_s / results["fp32"]["RMSE"]
+        extra["sdt_rmse_delta_m"] = round(delta_s, 4)
+        extra["sdt_rel"] = round(rel_s, 4)
+        checks.append(rel_s < 0.05)
     if r3:
         # mosaic-level requirement: SR beats the COP30 input product in the
         # pooled offline view, in BOTH precisions
@@ -142,4 +157,5 @@ if __name__ == "__main__":
     epochs = next((int(a) for a in argv if a.isdigit()), 40)
     raise SystemExit(main(epochs, r3="--r3" in argv,
                           device_cache="--device-cache" in argv,
+                          sample_dtype="--sample-dtype" in argv,
                           seed=seed))

@@ -107,3 +107,16 @@ def test_cli_export_flag(tmp_path):
         main(["--config", str(cfg_path),
               "--export", str(tmp_path / "deploy2"),
               "--result-dir", str(tmp_path / "run2")])
+
+
+def test_export_tpu_only_variant_guard():
+    """deform_impl=None (the Pallas-keeping TPU-only artifact flavor,
+    PERF.md 'Exported artifact vs in-process') demands platforms=('tpu',):
+    a platform-neutral artifact cannot carry a tpu_custom_call."""
+    from jspsr_tpu.eval.export import export_inference
+
+    model, params, bn = _tiny_flagship()
+    inputs = _inputs(1)
+    with pytest.raises(AssertionError, match="tpu"):
+        export_inference(model, params, bn, inputs,
+                         platforms=("cpu", "tpu"), deform_impl=None)
