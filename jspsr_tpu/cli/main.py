@@ -110,7 +110,14 @@ def main(argv=None):
         batch["hr_dem"] = np.zeros((1, size, size, 1), np.float32)
         inputs, _, _, _ = build_batch_inputs(batch, p.model_name,
                                              p.input_data)
-        out = save_exported(args.export, model, params, bn_state, inputs)
+        # export_platforms: [tpu] opts into the TPU-only fast artifact
+        # that keeps the Pallas deformable custom call (see PERF.md
+        # "Exported artifact vs in-process" for the measured tradeoff);
+        # default stays the portable CPU+TPU mxu-pinned lowering
+        platforms = tuple(p.get("export_platforms") or ("cpu", "tpu"))
+        deform_impl = None if platforms == ("tpu",) else "mxu"
+        out = save_exported(args.export, model, params, bn_state, inputs,
+                            platforms=platforms, deform_impl=deform_impl)
         print(f"Exported inference artifact: {out} "
               f"({out.stat().st_size / 1e6:.1f} MB)")
         return out

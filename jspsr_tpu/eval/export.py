@@ -81,13 +81,18 @@ def export_inference(model, params, bn_state, example_inputs,
 
 
 def save_exported(path, model, params, bn_state, example_inputs,
-                  platforms=("cpu", "tpu")) -> Path:
-    """export_inference + write to ``path`` (suffix normalized)."""
+                  platforms=("cpu", "tpu"), deform_impl="mxu") -> Path:
+    """export_inference + write to ``path`` (suffix normalized).
+
+    ``platforms=("tpu",), deform_impl=None`` writes the TPU-only fast
+    variant that keeps the Pallas deformable kernel (config key
+    ``export_platforms: [tpu]`` in the CLI flow).
+    """
     path = Path(path)
     if path.suffix != ARTIFACT_SUFFIX:
         path = path.with_suffix(path.suffix + ARTIFACT_SUFFIX)
     blob = export_inference(model, params, bn_state, example_inputs,
-                            platforms=platforms)
+                            platforms=platforms, deform_impl=deform_impl)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(blob)
     return path

@@ -109,6 +109,51 @@ def test_cli_export_flag(tmp_path):
               "--result-dir", str(tmp_path / "run2")])
 
 
+def test_cli_export_platforms_routing(tmp_path, monkeypatch):
+    """`export_platforms: [tpu]` in the YAML routes --export to the
+    TPU-only fast artifact (keeps the Pallas custom call: deform_impl
+    None); the default stays the portable CPU+TPU mxu-pinned lowering.
+    Wiring-only test — the TPU lowering itself needs libtpu, so
+    save_exported is captured, not executed."""
+    import jspsr_tpu.cli.main as cli_main
+    from jspsr_tpu.train.checkpoint import save_checkpoint
+
+    model, params, bn_state = _tiny_flagship()
+    ckpt = tmp_path / "m.npz"
+    save_checkpoint(str(ckpt), params, bn_state)
+    seen = {}
+
+    def fake_save(path, model, params, bn_state, inputs, platforms=None,
+                  deform_impl="mxu"):
+        seen["platforms"], seen["deform_impl"] = platforms, deform_impl
+        out = tmp_path / "fake.stablehlo"
+        out.write_bytes(b"x" * 2000)
+        return out
+
+    monkeypatch.setattr("jspsr_tpu.eval.export.save_exported", fake_save)
+    base = {
+        "name": "export_route", "verbose": False, "dataset": "DFC30",
+        "resolution": 8, "patch_size": 32,
+        "input_data": {"lr_dem": 1, "image": 3},
+        "model_name": "JSPSR",
+        "model_kwargs": {"num_block": 1, "num_feature": 8,
+                         "pretrained": False, "checkpoint": str(ckpt)},
+        "optimizer_kwargs": {"lr": 1e-3},
+    }
+    for platforms, want_impl in ((None, "mxu"), (["tpu"], None),
+                                 (["cpu", "tpu"], "mxu")):
+        cfg = dict(base)
+        if platforms is not None:
+            cfg["export_platforms"] = platforms
+        cfg_path = tmp_path / "cfg.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        cli_main.main(["--config", str(cfg_path),
+                       "--export", str(tmp_path / "deploy"),
+                       "--result-dir", str(tmp_path / "run")])
+        assert seen["platforms"] == tuple(platforms or ("cpu", "tpu"))
+        assert seen["deform_impl"] == want_impl
+
+
 def test_export_tpu_only_variant_guard():
     """deform_impl=None (the Pallas-keeping TPU-only artifact flavor,
     PERF.md 'Exported artifact vs in-process') demands platforms=('tpu',):
