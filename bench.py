@@ -24,6 +24,12 @@ guidance, single chip. Prints ONE JSON line:
 - e2e_trainer_tiles_per_sec: the REAL training pipeline (loader threads ->
   shard_batch -> jitted step) on synthetic DFC30 at the shipped bf16 feed
   config; e2e_vs_resident_ratio shows the host-feed cost (VERDICT r2 #4).
+
+WORKFLOW RULE (VERDICT r4 #7): after every driver capture lands in
+BENCH_r{N}.json, update README.md's Results table to cite THAT capture's
+numbers and file name — every README number must trace to the newest
+BENCH_r*.json or name its PERF.md section. The table header states which
+capture it cites, so staleness is visible at a glance.
 """
 
 import json

@@ -164,7 +164,8 @@ def main(argv=None):
                         sb = min(4, len(scenes))
                 paths, t_ms, sps = serve_scenes(
                     model, params, bn_state, p, scenes, out_dir,
-                    tile=p.get("patch_size", 128), scene_batch=sb)
+                    tile=p.get("patch_size", 128), scene_batch=sb,
+                    loader_threads=int(p.get("infer_loader_threads") or 1))
             else:
                 # whole-scene per scene (no --tile), or the sequential
                 # fallback for config surfaces the device path can't cover

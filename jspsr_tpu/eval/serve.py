@@ -88,7 +88,7 @@ def _compat_key(prepared):
 
 def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
                  tile: int = 128, prefetch: int = 2, mesh=None,
-                 scene_batch: int = 1):
+                 scene_batch: int = 1, loader_threads: int = 1):
     """Run device-tiled inference over many scenes with a 3-stage
     pipeline. Returns (list of output paths, elapsed_ms, scenes_per_s).
 
@@ -102,6 +102,11 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
     scene sizes upload+dispatch dominate over the tile forward, so
     batching amortizes them. Partial tail groups pad by repeating the
     last scene (outputs dropped); incompatible shapes flush the group.
+
+    ``loader_threads`` > 1 decodes+prepares that many scenes concurrently
+    with in-order hand-off — identical grouping/outputs to the serial
+    loader (config key ``infer_loader_threads``; default measured in
+    PERF.md "serving loader pool").
     """
     from jspsr_tpu.data.raster_io import write_raster
     from jspsr_tpu.eval.inference import load_scene
@@ -117,20 +122,54 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
     errors: list = []
     out_paths: list = [None] * len(scene_paths)
 
-    def loader():
+    def _load_one(i, path):
         from jspsr_tpu.eval.scene import prepare_scene
 
+        sample, profile = load_scene(path, p)
+        # pad/pack/validate here so the pure-host prep work overlaps the
+        # previous scene's device compute
+        return (i, path, prepare_scene(sample, p, tile=tile), profile)
+
+    def loader():
         for i, path in enumerate(scene_paths):
             try:
-                sample, profile = load_scene(path, p)
-                # pad/pack/validate here so the pure-host prep work
-                # overlaps the previous scene's device compute
-                prepared = prepare_scene(sample, p, tile=tile)
+                item = _load_one(i, path)
             except Exception as e:  # surface after drain
                 errors.append(e)
                 loaded.put(None)
                 return
-            loaded.put((i, path, prepared, profile))
+            loaded.put(item)
+        loaded.put(None)
+
+    def loader_pool():
+        # ``loader_threads`` > 1: decode+prepare several scenes
+        # concurrently (raster codecs + numpy release the GIL), but hand
+        # off IN submission order so scene_batch grouping and output
+        # naming stay identical to the serial loader. In-flight work is
+        # bounded by the pool width; loaded.put blocks on the queue bound.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(loader_threads)
+        window: deque = deque()
+        it = iter(enumerate(scene_paths))
+        try:
+            while True:
+                while len(window) <= loader_threads:
+                    try:
+                        i, path = next(it)
+                    except StopIteration:
+                        break
+                    window.append(ex.submit(_load_one, i, path))
+                if not window:
+                    break
+                loaded.put(window.popleft().result())
+        except Exception as e:
+            errors.append(e)
+            loaded.put(None)
+            return
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
         loaded.put(None)
 
     def writer():
@@ -150,7 +189,8 @@ def serve_scenes(model, params, bn_state, p, scene_paths, out_dir,
             except Exception as e:
                 errors.append(e)
 
-    t_loader = threading.Thread(target=loader, daemon=True)
+    t_loader = threading.Thread(
+        target=loader_pool if loader_threads > 1 else loader, daemon=True)
     t_writer = threading.Thread(target=writer, daemon=True)
     t0 = time.perf_counter_ns()
     t_loader.start()

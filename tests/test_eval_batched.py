@@ -96,9 +96,17 @@ def test_mesh_sharded_eval_matches_single_device(env, tmp_path):
     assert mesh.devices.size == 8
     r_mesh = eval_model(pb, t.valid_loader, t.eval_step, t.state.params,
                         t.state.bn_state, mesh=mesh, **kw)
+    # Median/LE95 are order statistics — discontinuous when two pixel
+    # errors are nearly tied, and the sharded program's reduction order
+    # can differ from the unsharded one in the last bits (more so when a
+    # persistent-cache program meets a freshly compiled one), flipping
+    # the selected element by one quantum. Smooth averages stay at tight
+    # rtol; the order statistics get a one-quantum atol floor.
     for k in ("loss", "PSNR", "SSIM", "RMSE", "Median", "LE95"):
+        atol = 1e-4 if k in ("Median", "LE95") else 0
         np.testing.assert_allclose(r_mesh[k], r_single[k], rtol=3e-4,
-                                   err_msg=k)
+                                   atol=atol, err_msg=k)
     for k, v in r_single["input"].items():
+        atol = 1e-4 if k in ("Median", "LE95") else 0
         np.testing.assert_allclose(r_mesh["input"][k], v, rtol=3e-4,
-                                   err_msg=k)
+                                   atol=atol, err_msg=k)

@@ -111,6 +111,30 @@ def test_serve_bad_scene_raises(tmp_path):
                      tmp_path / "out", tile=64)
 
 
+def test_serve_loader_pool_matches_serial(tmp_path):
+    """loader_threads=2 (concurrent decode+prepare, in-order hand-off)
+    writes bit-identical rasters in the same order as the serial loader,
+    composed with scene_batch grouping; a broken scene still surfaces."""
+    model, params, bn = _tiny_jspsr(seed=21)
+    p = _p()
+    batch = _make_batch_dir(tmp_path, n=5, seed=22)
+    scenes = discover_scenes(batch)
+    serial, _, _ = serve_scenes(model, params, bn, p, scenes,
+                                tmp_path / "o1", tile=64, scene_batch=2)
+    pooled, _, sps = serve_scenes(model, params, bn, p, scenes,
+                                  tmp_path / "o2", tile=64, scene_batch=2,
+                                  loader_threads=2)
+    assert sps > 0
+    assert [q.name for q in pooled] == [q.name for q in serial]
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(read_raster(b), read_raster(a))
+
+    (batch / "scene2" / "image.npy").unlink()
+    with pytest.raises(AssertionError, match="missing 'image'"):
+        serve_scenes(model, params, bn, p, discover_scenes(batch),
+                     tmp_path / "o3", tile=64, loader_threads=3)
+
+
 def test_serve_scene_batched(tmp_path):
     """scene_batch=2 over 5 scenes (two full groups + padded tail) writes
     the same rasters as unbatched serving."""
