@@ -99,10 +99,15 @@ def main():
     print(f"# artifact (cpu+tpu, mxu): {max(results['artifact']):.1f} t/s "
           f"{[round(t, 1) for t in results['artifact']]}", flush=True)
 
-    # equality of the deployment artifact vs the in-process forward
-    np.testing.assert_allclose(np.asarray(efn(dem, img, msk)),
-                               np.asarray(fwd_mxu(dem, img, msk)),
-                               rtol=2e-5, atol=2e-5)
+    # equality of the deployment artifact vs the in-process forward.
+    # Compare JIT vs JIT: the artifact is bit-exact against the jitted
+    # native program (measured: max_abs 0.0), while the EAGER forward
+    # differs ~1.6 % rel — TPU eager executes convs at a different
+    # effective precision than jitted DEFAULT (bf16 multiplies), see
+    # PERF.md "Exported artifact vs in-process".
+    np.testing.assert_array_equal(np.asarray(efn(dem, img, msk)),
+                                  np.asarray(jax.jit(fwd_mxu)(dem, img,
+                                                              msk)))
 
     # TPU-only artifact keeping the Pallas custom call
     try:
@@ -119,7 +124,7 @@ def main():
               f"{[round(t, 1) for t in results['artifact_tpu']]}",
               flush=True)
         np.testing.assert_allclose(np.asarray(efn_tpu(dem, img, msk)),
-                                   np.asarray(fwd(dem, img, msk)),
+                                   np.asarray(jax.jit(fwd)(dem, img, msk)),
                                    rtol=2e-5, atol=2e-5)
     except Exception as e:
         results["artifact_tpu_error"] = str(e)[:300]
