@@ -60,7 +60,8 @@ def auto_scene_batch(hw, tile: int = 128, n_scenes: int | None = None,
                      cap_tiles: int = 176) -> int:
     """Size-aware ``scene_batch`` default from the PERF.md serving sweeps:
     334²-class scenes are upload/dispatch-bound, so batching aggressively
-    wins (sb8 measured best: 34 scenes/s bf16); 1024²-class scenes
+    is safe (sb8 ≈ sb4 ≈ 26 scenes/s bf16 under the ≥3-pass protocol;
+    an earlier single-pass sweep read sb8 ahead); 1024²-class scenes
     over-batch past sb2 (sb4 is one 324-tile program + 4-scene upload,
     measured 56 % slower than sb2). Both optima reduce to one rule — the
     largest batch in {8,4,2,1} whose stacked program stays under
