@@ -129,6 +129,27 @@ def test_serve_loader_pool_matches_serial(tmp_path):
     for a, b in zip(serial, pooled):
         np.testing.assert_array_equal(read_raster(b), read_raster(a))
 
+    # mixed scene sizes: the pool's in-order hand-off preserves the
+    # compat-key group flushes, so batching stays correct
+    rng = np.random.default_rng(23)
+    for i, size in enumerate((96, 130, 96)):
+        d = batch / f"mix{i}"
+        d.mkdir()
+        write_raster(d / "lr_dem.npy",
+                     rng.uniform(10, 200, (size, size, 1))
+                     .astype(np.float32))
+        write_raster(d / "image.npy",
+                     rng.integers(0, 255, (size, size, 3))
+                     .astype(np.uint8))
+    mixed = [batch / f"mix{i}" for i in range(3)]
+    m_serial, _, _ = serve_scenes(model, params, bn, p, mixed,
+                                  tmp_path / "m1", tile=64, scene_batch=2)
+    m_pooled, _, _ = serve_scenes(model, params, bn, p, mixed,
+                                  tmp_path / "m2", tile=64, scene_batch=2,
+                                  loader_threads=2)
+    for a, b in zip(m_serial, m_pooled):
+        np.testing.assert_array_equal(read_raster(b), read_raster(a))
+
     (batch / "scene2" / "image.npy").unlink()
     with pytest.raises(AssertionError, match="missing 'image'"):
         serve_scenes(model, params, bn, p, discover_scenes(batch),
